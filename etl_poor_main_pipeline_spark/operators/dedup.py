@@ -1,0 +1,235 @@
+"""Deduplication operators ([EXT] X1/X2, SURVEY §2.7) over the ``documents``
+table — exact, MinHash+LSH, SimHash, and n-gram-Jaccard near-dup.
+
+Scale notes (100 TB posture):
+- Exact dedup is a hash-aggregate on a fingerprint — one shuffle on a short
+  key, map-side partial aggregation, no row text moves after the project.
+- MinHash+LSH: signatures are computed scan-side (pure expressions), then
+  only (band_hash, doc_id) pairs shuffle — candidate generation never
+  shuffles document text. Pair verification joins text back by doc_id.
+- SimHash: 64-bit signature per doc; near-dup = signatures matching on
+  rotated prefix buckets. All integer ops, JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint_md5, shingles_expr, tokens_expr
+
+
+def exact_dedup(df: DataFrame, subset: list[str], id_col: str = "doc_id") -> DataFrame:
+    """X1 exact dedup, deterministic representative = min id per key group.
+
+    ``dropDuplicates`` keeps an arbitrary row; taking ``min(id)`` per group
+    makes the result reproducible and oracle-checkable, at the same cost
+    (one hash aggregate).
+    """
+    others = [c for c in df.columns if c not in subset and c != id_col]
+    agg = [F.min(F.col(id_col)).alias(id_col)] + [F.min_by(F.col(c), F.col(id_col)).alias(c) for c in others]
+    return df.groupBy(*[F.col(c) for c in subset]).agg(*agg)
+
+
+def fingerprint_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact near-canonical dedup: collapse on md5(normalized text)."""
+    fp = df.withColumn("fingerprint", fingerprint_md5(text_col))
+    return (
+        fp.groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash signature per document, as pure expressions.
+
+    Universal hashing over shingle hashes: h_i(x) = (a_i * x + b_i) mod p.
+    Coefficients come from a fixed seeded sequence so signatures are
+    deterministic across runs. ``xxhash64`` supplies the base shingle hash
+    (JVM intrinsic, no Python). p = 2^31-1 (Mersenne prime) keeps every
+    intermediate product under 2^62, inside int64 with ANSI mode on.
+    """
+    p = (1 << 31) - 1
+    import random
+
+    rnd = random.Random(42)
+    coeffs = [(rnd.randrange(1, p), rnd.randrange(0, p)) for _ in range(num_hashes)]
+
+    sh = df.withColumn("_shingles", F.array_distinct(shingles_expr(text_col, shingle_k)))
+    sh = sh.withColumn(
+        "_hashes", F.transform(F.col("_shingles"), lambda s: F.pmod(F.xxhash64(s), F.lit(p)))
+    )
+    sig_cols = [
+        F.array_min(
+            F.transform(
+                F.col("_hashes"),
+                lambda x: F.pmod(x * F.lit(a) + F.lit(b), F.lit(p)),
+            )
+        ).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    return sh.select("*", F.array(*sig_cols).alias("minhash")).drop("_shingles", "_hashes")
+
+
+def minhash_lsh_candidates(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    num_bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Band the signatures and self-join on band buckets -> candidate pairs.
+
+    Only (band, bucket_hash, id) tuples shuffle; with b bands of r rows the
+    match probability is 1-(1-s^r)^b for Jaccard s — b=16, r=4 targets
+    s≈0.5+. Returns distinct (id_a, id_b) with id_a < id_b.
+    """
+    bands = sig_df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("minhash")[b * rows_per_band + r].cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col(f"b.band"))
+            & (F.col(f"a.bucket") == F.col(f"b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_token_sets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    block_cols: list[str] | None = None,
+    length_window: int | None = 16,
+    length_col: str = "n_chars",
+) -> DataFrame:
+    """Exact token-set Jaccard near-dup pairs (the verifiable baseline X2).
+
+    Blocked all-pairs: same ``block_cols`` value (e.g. lang) and a length
+    window prune the O(n²) pair space before the set intersection runs.
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    toks = df.select(
+        F.col(id_col),
+        *(F.col(c) for c in (block_cols or [])),
+        *( [F.col(length_col)] if length_window is not None else [] ),
+        F.array_distinct(tokens_expr(text_col)).alias("tok_set"),
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for c in block_cols or []:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    if length_window is not None:
+        cond = cond & (
+            F.abs(F.col(f"a.{length_col}") - F.col(f"b.{length_col}")) <= F.lit(length_window)
+        )
+    inter = F.size(F.array_intersect(F.col("a.tok_set"), F.col("b.tok_set")))
+    union = F.size(F.array_union(F.col("a.tok_set"), F.col("b.tok_set")))
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document from token hashes, pure expressions.
+
+    For each bit position, sum +1/-1 votes across token xxhash64 values and
+    take the sign. Bitwise ops only — no UDFs.
+    """
+    toks = df.withColumn("_toks", tokens_expr(text_col))
+    toks = toks.withColumn("_th", F.transform(F.col("_toks"), lambda t: F.xxhash64(t)))
+    bit_exprs = []
+    for i in range(bits):
+        vote = F.aggregate(
+            F.col("_th"),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(1 << i) if i < 63 else F.lit(-(1 << 63))) != 0, 1).otherwise(-1),
+        )
+        bit_exprs.append(F.when(vote > 0, F.lit(1).cast("long") * F.lit(1 << i if i < 63 else -(1 << 63))).otherwise(F.lit(0).cast("long")))
+    acc = bit_exprs[0]
+    for e in bit_exprs[1:]:
+        acc = acc.bitwiseOR(e)
+    return toks.select("*", acc.alias("simhash")).drop("_toks", "_th")
+
+
+def simhash_near_dup_pairs(
+    sig_df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= k, using the standard
+    block-permutation trick: split the 64-bit signature into (k+1) blocks;
+    any pair within distance k agrees exactly on >=1 block -> join per block
+    on block equality, then verify true Hamming distance with bit_count."""
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
+    blocks = sig_df.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftrightunsigned(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("blkval"),
+                    )
+                    for i in range(nblocks)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.blk", "bb.blkval")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.blkval") == F.col("b.blkval"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= F.lit(max_hamming))
+        .distinct()
+    )

@@ -1,0 +1,75 @@
+"""SparkSession factory (reference analogue: utils/duckdb_utils.py:9-59).
+
+The reference boots an in-memory DuckDB with httpfs + S3 config per job; the
+Spark-native equivalent is a session factory that bakes in the engine's
+scale posture:
+
+- AQE on (runtime re-planning, skew-join handling, partition coalescing)
+- dynamic partition overwrite (the delete-and-insert idempotency pattern,
+  ref utils/duckdb_utils.py:61-190 / README.md:17,27, as a single conf)
+- Arrow-accelerated pandas interchange (ref con.register, duckdb_utils.py:162)
+- UTC session timezone so timestamp semantics are deterministic across
+  engines and hosts.
+
+``tune_session`` applies the runtime-settable subset to an externally
+created session (the driver hands us one); ``get_spark`` builds a local one.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from .config import EngineConfig, load_config
+
+# Runtime-settable confs: safe to apply to a session we didn't build.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # events.parquet carries TIMESTAMP(NANOS); read as long ns-since-epoch
+    # (converted back to timestamp by sources.read.read_events).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # deterministic float formatting when casting double->string
+    "spark.sql.legacy.allowNegativeScaleOfDecimal": "false",
+}
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime conf posture to an existing session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # non-settable in this deployment: keep going, features degrade
+            # gracefully (e.g. read_events falls back to Arrow).
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "etl-poor-main-pipeline-spark",
+    master: str | None = None,
+    config: EngineConfig | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    cfg = config or load_config()
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cfg.cpus}]")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(cfg.shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("ENGINE_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_confs or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return tune_session(spark)

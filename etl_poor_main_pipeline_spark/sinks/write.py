@@ -1,0 +1,82 @@
+"""Lake sinks: idempotent partition delete-and-insert + layout policy.
+
+Reference behavior being recreated (W1/W2/W4/W5):
+- W1 delete-and-insert partition overwrite (utils/duckdb_utils.py:61-190,
+  README.md:17,27): the reference lists+deletes S3 objects under
+  ``date_id={d}`` and the Glue partition, then COPYs new parquet. Spark-
+  native: ``mode("overwrite").partitionBy(...)`` with
+  ``partitionOverwriteMode=dynamic`` — only the partitions present in the
+  incoming DataFrame are replaced, sibling partitions untouched. One conf,
+  no hand-rolled S3 deletes, safe under concurrent daily runs.
+- W2 empty-input guard (utils/duckdb_utils.py:144-146): skip the write when
+  the DataFrame is empty, identical short-circuit.
+- W4 catalog registration (utils/duckdb_utils.py:192-284): idempotent
+  database/table creation against the session catalog (Glue via the
+  catalog impl in a real deployment); ``MSCK``-equivalent partition sync.
+- W5 single-file-per-partition (utils/duckdb_utils.py:154,186): preserved
+  as an *opt-in* policy knob — correct for 30-row reference partitions,
+  an anti-pattern at 100 TB (SURVEY §7.5), hence default off.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schema import enforce_schema
+from ..table import TableRef
+
+
+def write_partition_overwrite(
+    df: DataFrame,
+    ref: TableRef,
+    lake_root: str,
+    schema: dict[str, str] | None = None,
+    single_file: bool = False,
+) -> bool:
+    """W1+W2+W5: schema-enforced dynamic partition overwrite.
+
+    Returns False when the empty-input guard short-circuited, True when a
+    write happened — mirrors the reference's skip-log behavior.
+    """
+    if df.isEmpty():
+        return False
+    out = enforce_schema(df, schema) if schema else df
+    if single_file:
+        # reference layout parity: exactly one file per partition. Fine for
+        # small daily partitions; never use at scale.
+        out = out.repartition(1)
+    spark = out.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        out.write.mode("overwrite")
+        .partitionBy(ref.partition_col)
+        .parquet(ref.path(lake_root))
+    )
+    return True
+
+
+def register_table(
+    spark: SparkSession,
+    ref: TableRef,
+    lake_root: str,
+) -> None:
+    """W4 idempotent catalog registration: CREATE DATABASE/TABLE IF NOT
+    EXISTS over the external location, then partition discovery.
+
+    Against a Glue-backed catalog this issues the same idempotent calls the
+    reference makes with boto3 (duckdb_utils.py:198-207,216-262); locally it
+    lands in the Derby/in-memory catalog. Failures warn-and-continue like
+    the reference (:281-282).
+    """
+    try:
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {ref.database}")
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {ref.qualified_name} "
+            f"USING PARQUET OPTIONS (path '{ref.path(lake_root)}') "
+            f"PARTITIONED BY ({ref.partition_col})"
+        )
+        spark.sql(f"MSCK REPAIR TABLE {ref.qualified_name}")
+    except Exception as exc:  # warn-and-continue, ref duckdb_utils.py:281-282
+        import warnings
+
+        warnings.warn(f"catalog registration failed for {ref.qualified_name}: {exc}")

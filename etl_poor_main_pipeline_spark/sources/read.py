@@ -1,0 +1,124 @@
+"""Sources: partition-pruned, schema-declared parquet scans (S1/S2/S6).
+
+Reference behavior being recreated:
+- S1 partition scan: the reference interpolates ``date_id={d}`` into the S3
+  path (analytics__us_weather.py:51). Spark-native: read the partitioned
+  root and filter on the partition column — Catalyst's
+  PruneFileSourcePartitions turns that into the same single-directory scan
+  (verified in tests via the explain PartitionFilters).
+- S2 schema-declared scan: reads never infer; the declared schema is passed
+  to the reader (silver schemas at analytics__us_weather.py:71-82).
+- S6 pandas handoff: ``spark.createDataFrame(pdf)`` (Arrow path), the
+  analogue of DuckDB ``con.register`` (utils/duckdb_utils.py:162).
+
+Plus the driver-corpus loaders (TESTDATA.md): one parquet per table at
+``{sf_dir}/{name}.parquet``. ``events`` needs special handling because its
+``ts`` column is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+rejects; with ``spark.sql.legacy.parquet.nanosAsLong=true`` it arrives as a
+long we convert back to a (µs) timestamp — same truncation DuckDB applies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schema import schema_from_dict
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    schema: dict[str, str] | T.StructType | None = None,
+) -> DataFrame:
+    """Schema-declared parquet scan (S2). ``schema=None`` -> engine inference
+    (only for ad-hoc exploration; declared tables always pass a schema)."""
+    reader = spark.read
+    if schema is not None:
+        st = schema if isinstance(schema, T.StructType) else schema_from_dict(schema)
+        reader = reader.schema(st)
+    return reader.parquet(path)
+
+
+def read_partition(
+    spark: SparkSession,
+    root_path: str,
+    partition_value: str,
+    partition_col: str = "date_id",
+    schema: dict[str, str] | T.StructType | None = None,
+) -> DataFrame:
+    """Partition-pruned scan (S1): read the partitioned root, filter on the
+    partition column; Catalyst prunes to the one directory (SURVEY §4)."""
+    df = read_table(spark, root_path, schema)
+    return df.where(F.col(partition_col) == F.lit(partition_value))
+
+
+def _events_ts_is_long(df: DataFrame) -> bool:
+    return isinstance(df.schema["ts"].dataType, T.LongType)
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load the events table with ``ts`` as a proper µs timestamp.
+
+    Scalable path: nanosAsLong conf (set by session.tune_session) -> long ns
+    -> ``timestamp_micros(ns div 1000)`` — stays fully JVM-side, preserves
+    pushdown on every other column. Fallback (conf rejected by the hosting
+    session): Arrow read on the driver with a ns->µs cast; fine at test SFs,
+    and flagged loudly for cluster use.
+    """
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    try:
+        df = spark.read.parquet(path)
+        if _events_ts_is_long(df):
+            # integer division — ns values (~1.7e18) overflow double's 53-bit
+            # mantissa, so a float path would be off by ±1µs
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    except Exception:
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(path)
+        ts_idx = tbl.schema.get_field_index("ts")
+        import pyarrow as pa
+
+        tbl = tbl.set_column(ts_idx, "ts", tbl.column("ts").cast(pa.timestamp("us")))
+        return spark.createDataFrame(tbl.to_pandas())
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver-corpus table by name (TESTDATA.md)."""
+    if name == "events":
+        return read_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    return tuple(load_table(spark, sf_dir, n) for n in names)
+
+
+def from_pandas(spark: SparkSession, pdf, schema: dict[str, str] | None = None) -> DataFrame:
+    """S6 pandas -> engine handoff (Arrow-accelerated createDataFrame)."""
+    df = spark.createDataFrame(pdf)
+    if schema is not None:
+        from ..schema import enforce_schema
+
+        df = enforce_schema(df, schema)
+    return df

@@ -1,0 +1,65 @@
+"""Benchmark harness: runs the declared queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Timing = action time of each query's full pipeline (plan + execute +
+collect-to-count) after a session warm-up, so JVM/codegen startup isn't
+billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from etl_poor_main_pipeline_spark.session import get_spark
+    from etl_poor_main_pipeline_spark.registry import queries
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = queries()
+    # warm-up: JVM, codegen, parquet footer caches
+    qs["flagship_silver_shape"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()
+        except Exception as exc:  # a failing query gets a sentinel, not a crash
+            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+            continue
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"bench: {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

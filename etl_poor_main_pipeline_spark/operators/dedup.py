@@ -135,26 +135,46 @@ def jaccard_token_sets(
 ) -> DataFrame:
     """Exact token-set Jaccard near-dup pairs (the verifiable baseline X2).
 
-    Blocked all-pairs: same ``block_cols`` value (e.g. lang) and a length
-    window prune the O(n²) pair space before the set intersection runs.
-    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    Semantics: pairs with equal ``block_cols`` (e.g. lang), length within
+    ``length_window``, and Jaccard >= threshold; (id_a < id_b, jaccard).
+
+    Scale design: the length window is turned into an *equi-join* — side A
+    explodes to its length bucket ±1 (bucket width = window), side B keeps
+    its own bucket; |Δlen| <= window implies bucket distance <= 1, and each
+    qualifying pair meets on exactly one bucket key, so no dedup pass is
+    needed. This makes the candidate join a shuffled hash join on
+    (block, bucket) instead of a quadratic theta-join. Two more prunes run
+    before the set intersection: the exact length window, and the size
+    bound |A|,|B| ratio >= t implied by Jaccard >= t.
     """
-    toks = df.select(
+    bucket_w = length_window if length_window is not None else 1 << 30
+    base = df.select(
         F.col(id_col),
         *(F.col(c) for c in (block_cols or [])),
-        *( [F.col(length_col)] if length_window is not None else [] ),
+        F.col(length_col),
+        F.floor(F.col(length_col) / F.lit(bucket_w)).cast("long").alias("_bkt"),
         F.array_distinct(tokens_expr(text_col)).alias("tok_set"),
-    )
-    a, b = toks.alias("a"), toks.alias("b")
-    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    ).withColumn("_ntok", F.size(F.col("tok_set")))
+    a = base.select(
+        "*", F.explode(F.array(F.col("_bkt") - 1, F.col("_bkt"), F.col("_bkt") + 1)).alias("_jbkt")
+    ).drop("_bkt").alias("a")
+    b = base.withColumnRenamed("_bkt", "_jbkt").alias("b")
+    cond = (F.col("a._jbkt") == F.col("b._jbkt")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     for c in block_cols or []:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     if length_window is not None:
         cond = cond & (
             F.abs(F.col(f"a.{length_col}") - F.col(f"b.{length_col}")) <= F.lit(length_window)
         )
+    # size-ratio prune: jaccard >= t  =>  min(|A|,|B|)/max(|A|,|B|) >= t
+    tl = F.lit(threshold)
+    cond = cond & (
+        F.least(F.col("a._ntok"), F.col("b._ntok"))
+        >= tl * F.greatest(F.col("a._ntok"), F.col("b._ntok"))
+    )
     inter = F.size(F.array_intersect(F.col("a.tok_set"), F.col("b.tok_set")))
-    union = F.size(F.array_union(F.col("a.tok_set"), F.col("b.tok_set")))
+    # |A ∪ B| = |A| + |B| - |A ∩ B| — avoids materializing the union array
+    union = F.col("a._ntok") + F.col("b._ntok") - inter
     jac = inter.cast("double") / union.cast("double")
     return (
         a.join(b, cond)
@@ -163,7 +183,7 @@ def jaccard_token_sets(
             F.col(f"b.{id_col}").alias("id_b"),
             F.round(jac, 6).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= F.lit(threshold))
+        .filter(F.col("jaccard") >= tl)
     )
 
 

@@ -53,24 +53,74 @@ def cosine_self_join(
 ) -> DataFrame:
     """X4 all-pairs with cosine >= threshold (exact), blocked to bound cost.
 
-    Pre-normalizes once so the pair check is a dot product (saves the two
-    norms per pair); blocks on ``block_col`` when given.
+    With a ``block_col``: one shuffle on the block key, then a vectorized
+    per-block GEMM inside ``applyInPandas`` — pairwise cosine is a matrix
+    multiply, and Arrow-batched BLAS beats interpreted Catalyst
+    higher-order functions by ~10-100x for this shape. At 100 TB the block
+    key is a cluster/band assignment, so block sizes stay bounded and the
+    payload never joins against itself row-by-row.
+
+    Without a block key: pure-expression cross join (quadratic; only for
+    small inputs or pre-filtered candidates).
     """
-    norm = df.select(
+    if block_col is None:
+        return _cosine_self_join_expr(df, threshold, id_col, vec_col)
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        mat = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]], dtype=np.float64
+        )
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        mat = mat / norms[:, None]
+        sims = np.round(mat @ mat.T, 6)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = sims[iu, ju] >= threshold
+        iu, ju = iu[keep], ju[keep]
+        ia, ib = ids[iu], ids[ju]
+        swap = ia > ib  # triu orders positions, not id values
+        return pd.DataFrame(
+            {
+                "id_a": np.where(swap, ib, ia),
+                "id_b": np.where(swap, ia, ib),
+                "cosine": sims[iu, ju],
+            }
+        )
+
+    return (
+        df.filter(F.col(block_col).isNotNull())
+        .select(F.col(id_col), F.col(block_col), F.col(vec_col))
+        .groupBy(block_col)
+        .applyInPandas(block_pairs, out_schema)
+    )
+
+
+def _cosine_self_join_expr(
+    df: DataFrame, threshold: float, id_col: str, vec_col: str
+) -> DataFrame:
+    norm = df.withColumn("_norm", l2_norm(F.col(vec_col))).select(
         F.col(id_col),
-        *( [F.col(block_col)] if block_col else [] ),
-        F.transform(
-            F.col(vec_col).cast("array<double>"),
-            lambda x: x / l2_norm(F.col(vec_col)),
-        ).alias("_nv"),
+        F.transform(F.col(vec_col).cast("array<double>"), lambda x: x / F.col("_norm")).alias(
+            "_nv"
+        ),
     )
     a, b = norm.alias("a"), norm.alias("b")
-    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-    if block_col:
-        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
     cos = F.round(dot_product(F.col("a._nv"), F.col("b._nv")), 6)
     return (
-        a.join(b, cond)
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),

@@ -979,10 +979,12 @@ WHERE round(cast(len(list_intersect(a.tok_set, b.tok_set)) as double)
 
 def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 scale path: MinHash(64) + LSH banding (16x4) candidate pairs.
-    Approximate by construction -> rows-only driver check; the exact
-    jaccard query above is the semantic oracle."""
+    shingle_k=1 so the signatures estimate the same token-set Jaccard the
+    exact twin computes (k>=2 would measure ordered shingle similarity).
+    Approximate by construction -> rows-only driver check; recall against
+    the exact pairs is asserted in tests."""
     d = _t(spark, sf_dir, "documents")
-    sigs = dedup.minhash_signatures(d, num_hashes=64, shingle_k=3)
+    sigs = dedup.minhash_signatures(d, num_hashes=64, shingle_k=1)
     return dedup.minhash_lsh_candidates(sigs, num_bands=16, rows_per_band=4)
 
 
@@ -1014,9 +1016,11 @@ LIMIT 10
 
 
 def q_cosine_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X4 embedding near-dup: all same-label pairs with cosine >= 0.9."""
+    """X4 embedding near-dup: same-label pairs with cosine >= 0.35
+    (threshold picked so the fixture yields non-empty results at every SF —
+    a 0-row pass would be a vacuous check)."""
     e = _t(spark, sf_dir, "embeddings")
-    return similarity.cosine_self_join(e, threshold=0.9, block_col="label")
+    return similarity.cosine_self_join(e, threshold=0.35, block_col="label")
 
 
 _ORACLE_COS_SELF = """
@@ -1024,7 +1028,7 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
 FROM embeddings a JOIN embeddings b
   ON a.vec_id < b.vec_id AND a.label = b.label
-WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.9
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35
 """
 
 

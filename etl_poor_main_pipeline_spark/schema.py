@@ -62,10 +62,11 @@ def schema_from_dict(schema: dict[str, str]) -> T.StructType:
 def enforce_schema(df: DataFrame, schema: dict[str, str]) -> DataFrame:
     """Project + cast ``df`` to exactly the declared columns/types (P5).
 
-    Spark casts yield NULL on failure rather than erroring (documented
-    divergence from DuckDB's INSERT SELECT, SURVEY §7.5) — acceptable for
-    the reference workload whose inputs are already shaped upstream.
+    Uses ``try_cast``: malformed values become NULL instead of failing the
+    job (documented divergence from DuckDB's erroring INSERT SELECT,
+    SURVEY §7.5), and the behavior is independent of the session's ANSI
+    mode — Spark 4 defaults to ANSI, where a plain cast would throw.
     """
     return df.select(
-        [F.col(name).cast(sql_type_to_spark(t)).alias(name) for name, t in schema.items()]
+        [F.col(name).try_cast(sql_type_to_spark(t)).alias(name) for name, t in schema.items()]
     )

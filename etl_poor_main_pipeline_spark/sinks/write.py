@@ -70,10 +70,14 @@ def register_table(
     """
     try:
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {ref.database}")
+        # external partitioned tables need an explicit column list — infer
+        # it from the data files (the write path already enforced types)
+        schema = spark.read.parquet(ref.path(lake_root)).schema
+        cols_ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
         spark.sql(
-            f"CREATE TABLE IF NOT EXISTS {ref.qualified_name} "
-            f"USING PARQUET OPTIONS (path '{ref.path(lake_root)}') "
-            f"PARTITIONED BY ({ref.partition_col})"
+            f"CREATE TABLE IF NOT EXISTS {ref.qualified_name} ({cols_ddl}) "
+            f"USING PARQUET PARTITIONED BY ({ref.partition_col}) "
+            f"LOCATION '{ref.path(lake_root)}'"
         )
         spark.sql(f"MSCK REPAIR TABLE {ref.qualified_name}")
     except Exception as exc:  # warn-and-continue, ref duckdb_utils.py:281-282

@@ -1,0 +1,139 @@
+"""Structured Streaming operators over the events schema.
+
+The reference lists streaming as future work only (README.md:181); this
+module is the engine's forward surface for it, built on the standard
+Structured Streaming primitives: file/rate sources, watermarked tumbling
+windows, and gap-based sessionization via ``applyInPandasWithState``.
+
+Batch twins of these operators live in the registry
+(``time_bucket_agg``, ``sessionization_gap30m``) where they are
+oracle-checked; the streaming tests assert stream-vs-batch equivalence on
+the same input (the strongest check available for unbounded operators).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, source_dir: str, fmt: str = "json") -> DataFrame:
+    """File-based event stream (each dropped file = a micro-batch)."""
+    return spark.readStream.schema(EVENT_SCHEMA).format(fmt).load(source_dir)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event type.
+
+    The watermark bounds state: late rows beyond it are dropped, which is
+    what makes this runnable over an unbounded stream at scale.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_ts_us", T.LongType()),
+        T.StructField("session_count", T.LongType()),
+        T.StructField("events_in_session", T.LongType()),
+    ]
+)
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_sessions", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based sessionization with explicit state per user
+    (``applyInPandasWithState``) — the custom stateful operator pattern.
+
+    Emits running (user_id, n_sessions, n_events) on every update. The
+    batch twin (registry ``sessionization_gap30m``) pins the semantics
+    against the DuckDB oracle.
+    """
+    import pandas as pd
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            last_ts_us, sessions, events_n = state.get
+        else:
+            last_ts_us, sessions, events_n = None, 0, 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts in pdf["ts"]:
+                ts_us = int(ts.value // 1000)  # pandas ns -> µs
+                if last_ts_us is None or ts_us - last_ts_us > gap_us:
+                    sessions += 1
+                last_ts_us = ts_us
+                events_n += 1
+        state.update((last_ts_us, sessions, events_n))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_sessions": [sessions], "n_events": [events_n]}
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, query_name: str) -> "DataFrame":
+    """Drain all available input into an in-memory table (test helper):
+    trigger(availableNow) processes everything then stops."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update" if stream_df.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q

@@ -1,0 +1,83 @@
+"""S3/S4/S5: API source with canned JSON — no live network (SURVEY §7.5)."""
+
+import json
+
+import pytest
+
+from etl_poor_main_pipeline_spark.sources.api import (
+    fetch_batch,
+    fetch_distributed,
+    flatten_weather_json,
+    ingest_batch,
+)
+
+
+def canned_payload(city="Toronto", country="CA", temp=21.5):
+    return json.dumps(
+        {
+            "name": city,
+            "sys": {"country": country},
+            "main": {"temp": temp, "feels_like": temp - 2, "humidity": 60, "pressure": 1013},
+            "weather": [{"description": "clear sky", "id": 800}],
+            "wind": {"speed": 3.2},
+            "retrieved_at": "2026-01-01T12:00:00",
+        }
+    )
+
+
+def fake_fetch(key: str) -> str:
+    if key == "FailCity":
+        raise RuntimeError("HTTP 500")
+    return canned_payload(city=key)
+
+
+def test_fetch_batch_drops_failures():
+    # reference drops failed cities silently (analytics__world_weather.py:73-78)
+    out = fetch_batch(["A", "FailCity", "B"], fake_fetch)
+    assert len(out) == 2
+
+
+def test_flatten_extracts_ten_metrics(spark):
+    df = spark.createDataFrame([(canned_payload(),)], ["raw"])
+    out = flatten_weather_json(df)
+    assert out.columns == [
+        "city", "country", "temperature", "feels_like", "humidity",
+        "pressure", "weather", "weather_code", "wind_speed", "timestamp",
+    ]
+    row = out.head()
+    assert row.city == "Toronto" and row.country == "CA"
+    assert row.temperature == 21.5 and row.weather_code == 800
+    assert row.weather == "clear sky"
+
+
+def test_flatten_missing_keys_yield_nulls(spark):
+    df = spark.createDataFrame([(json.dumps({"name": "X"}),)], ["raw"])
+    row = flatten_weather_json(df).head()
+    assert row.city == "X" and row.temperature is None and row.weather is None
+
+
+def test_ingest_batch_stamps_partition(spark):
+    out = ingest_batch(spark, ["A", "B"], fake_fetch, "2026-01-01")
+    assert out.count() == 2
+    assert {r.date_id for r in out.collect()} == {"2026-01-01"}
+
+
+def test_ingest_batch_all_failed(spark):
+    out = ingest_batch(spark, ["FailCity"], lambda k: fake_fetch("FailCity"), "2026-01-01")
+    assert out.count() == 0
+
+
+def test_fetch_distributed_executor_side(spark):
+    # the 100 TB path: fan-out inside mapInPandas, failures dropped per key.
+    # fetch fn defined locally so cloudpickle ships it by value — executor
+    # workers can't import the test module.
+    def local_fetch(key: str) -> str:
+        if key == "FailCity":
+            raise RuntimeError("HTTP 500")
+        return '{"name": "' + key + '"}'
+
+    keys = [f"city{i}" for i in range(20)] + ["FailCity"]
+    out = fetch_distributed(spark, keys, local_fetch, num_partitions=4)
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(r.raw for r in rows)

@@ -1,0 +1,41 @@
+import pytest
+
+from etl_poor_main_pipeline_spark.operators.multimodal import (
+    extract_media_features,
+    frame_sample_stub,
+    text_to_binary,
+)
+
+
+def test_text_to_binary_roundtrip(spark):
+    df = spark.createDataFrame([(1, "héllo")], ["doc_id", "text"])
+    row = text_to_binary(df).head()
+    assert bytes(row.payload).decode("utf-8") == "héllo"
+    assert row.n_bytes == len("héllo".encode("utf-8"))  # 6: é is 2 bytes
+    assert row.mime == "text/plain"
+
+
+def test_extract_media_features_deterministic(spark):
+    df = spark.createDataFrame([(i, f"doc number {i}") for i in range(10)], ["doc_id", "text"])
+    bin_df = text_to_binary(df)
+    a = sorted((r.media_id, r.width, r.height) for r in extract_media_features(bin_df).collect())
+    b = sorted((r.media_id, r.width, r.height) for r in extract_media_features(bin_df).collect())
+    assert a == b
+    assert all(64 <= w < 128 and 64 <= h < 128 for _, w, h in a)
+
+
+def test_extract_media_features_null_payload(spark):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("media_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    df = spark.createDataFrame([(1, None)], schema)
+    row = extract_media_features(df).head()
+    assert row.n_bytes == 0
+
+
+def test_frame_sampler_is_explicit_stub(spark):
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(NotImplementedError):
+        frame_sample_stub(text_to_binary(df))

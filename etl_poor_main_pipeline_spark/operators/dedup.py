@@ -60,20 +60,22 @@ def minhash_signatures(
     rnd = random.Random(42)
     coeffs = [(rnd.randrange(1, p), rnd.randrange(0, p)) for _ in range(num_hashes)]
 
-    sh = df.withColumn("_shingles", F.array_distinct(shingles_expr(text_col, shingle_k)))
-    sh = sh.withColumn(
-        "_hashes", F.transform(F.col("_shingles"), lambda s: F.pmod(F.xxhash64(s), F.lit(p)))
-    )
-    sig_cols = [
-        F.array_min(
-            F.transform(
-                F.col("_hashes"),
-                lambda x: F.pmod(x * F.lit(a) + F.lit(b), F.lit(p)),
-            )
-        ).alias(f"mh_{i}")
+    # explode shingles to rows and take the per-doc min of each permuted
+    # hash as plain aggregate columns: one codegen'd hash aggregate,
+    # instead of num_hashes interpreted array-lambda passes per document
+    keep_cols = df.columns
+    exploded = df.select(
+        *keep_cols,
+        F.explode_outer(F.array_distinct(shingles_expr(text_col, shingle_k))).alias("_sh"),
+    ).withColumn("_h", F.pmod(F.xxhash64(F.col("_sh")), F.lit(p)))
+    mins = [
+        F.min(F.pmod(F.col("_h") * F.lit(a) + F.lit(b), F.lit(p))).alias(f"_mh_{i}")
         for i, (a, b) in enumerate(coeffs)
     ]
-    return sh.select("*", F.array(*sig_cols).alias("minhash")).drop("_shingles", "_hashes")
+    agg = exploded.groupBy(*keep_cols).agg(*mins)
+    return agg.select(
+        *keep_cols, F.array(*[F.col(f"_mh_{i}") for i in range(num_hashes)]).alias("minhash")
+    )
 
 
 def minhash_lsh_candidates(
@@ -81,12 +83,20 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     num_bands: int = 16,
     rows_per_band: int = 4,
+    max_bucket_size: int | None = 500,
 ) -> DataFrame:
     """Band the signatures and self-join on band buckets -> candidate pairs.
 
     Only (band, bucket_hash, id) tuples shuffle; with b bands of r rows the
     match probability is 1-(1-s^r)^b for Jaccard s — b=16, r=4 targets
     s≈0.5+. Returns distinct (id_a, id_b) with id_a < id_b.
+
+    ``max_bucket_size`` drops mega-buckets before the join — a bucket with
+    m members contributes m² candidate pairs, and buckets that big are
+    non-discriminative (degenerate signatures / boilerplate text). This is
+    the standard LSH skew guard: without it one hot bucket turns the
+    candidate join quadratic at scale. True near-dup pairs still meet in
+    their other (selective) bands.
     """
     bands = sig_df.select(
         F.col(id_col),
@@ -110,13 +120,22 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+    if max_bucket_size is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band", "bucket")
+        bands = (
+            bands.withColumn("_bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
     a = bands.alias("a")
     b = bands.alias("b")
     return (
         a.join(
             b,
-            (F.col(f"a.band") == F.col(f"b.band"))
-            & (F.col(f"a.bucket") == F.col(f"b.bucket"))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
@@ -188,26 +207,36 @@ def jaccard_token_sets(
 
 
 def simhash_signatures(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
-    """64-bit SimHash per document from token hashes, pure expressions.
+    """64-bit SimHash per document from token hashes.
 
-    For each bit position, sum +1/-1 votes across token xxhash64 values and
-    take the sign. Bitwise ops only — no UDFs.
+    Shape chosen for codegen: explode token hashes to rows, compute all 64
+    per-bit +1/-1 votes as plain aggregate columns (one whole-stage-codegen
+    hash aggregate), then OR the sign bits back into one long. The naive
+    alternative — 64 ``aggregate()`` higher-order lambdas per row — runs
+    interpreted and is ~10x slower.
     """
-    toks = df.withColumn("_toks", tokens_expr(text_col))
-    toks = toks.withColumn("_th", F.transform(F.col("_toks"), lambda t: F.xxhash64(t)))
-    bit_exprs = []
+    keep_cols = df.columns
+    exploded = df.select(
+        *keep_cols, F.explode_outer(tokens_expr(text_col)).alias("_tok")
+    ).withColumn("_h", F.xxhash64(F.col("_tok")))
+
+    def mask(i: int):
+        return F.lit(1 << i) if i < 63 else F.lit(-(1 << 63))
+
+    votes = [
+        F.sum(
+            F.when(F.col("_h").isNull(), 0)
+            .when(F.col("_h").bitwiseAND(mask(i)) != 0, 1)
+            .otherwise(-1)
+        ).alias(f"_v{i}")
+        for i in range(bits)
+    ]
+    agg = exploded.groupBy(*keep_cols).agg(*votes)
+    acc = None
     for i in range(bits):
-        vote = F.aggregate(
-            F.col("_th"),
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.lit(1 << i) if i < 63 else F.lit(-(1 << 63))) != 0, 1).otherwise(-1),
-        )
-        bit_exprs.append(F.when(vote > 0, F.lit(1).cast("long") * F.lit(1 << i if i < 63 else -(1 << 63))).otherwise(F.lit(0).cast("long")))
-    acc = bit_exprs[0]
-    for e in bit_exprs[1:]:
-        acc = acc.bitwiseOR(e)
-    return toks.select("*", acc.alias("simhash")).drop("_toks", "_th")
+        bit = F.when(F.col(f"_v{i}") > 0, mask(i).cast("long")).otherwise(F.lit(0).cast("long"))
+        acc = bit if acc is None else acc.bitwiseOR(bit)
+    return agg.select(*keep_cols, acc.alias("simhash"))
 
 
 def simhash_near_dup_pairs(

@@ -984,8 +984,10 @@ def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Approximate by construction -> rows-only driver check; recall against
     the exact pairs is asserted in tests."""
     d = _t(spark, sf_dir, "documents")
-    sigs = dedup.minhash_signatures(d, num_hashes=64, shingle_k=1)
-    return dedup.minhash_lsh_candidates(sigs, num_bands=16, rows_per_band=4)
+    sigs = dedup.minhash_signatures(d, num_hashes=60, shingle_k=1)
+    # b=10, r=6: S-curve threshold ~0.84 — P(candidate)=0.95 at s=0.8 but
+    # only 0.15 at s=0.5, keeping candidate volume near the true-pair count
+    return dedup.minhash_lsh_candidates(sigs, num_bands=10, rows_per_band=6)
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

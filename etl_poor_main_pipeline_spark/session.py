@@ -41,7 +41,15 @@ RUNTIME_CONFS: dict[str, str] = {
 
 
 def tune_session(spark: SparkSession) -> SparkSession:
-    """Apply the engine's runtime conf posture to an existing session."""
+    """Apply the engine's runtime conf posture to an existing session.
+    Idempotent and memoized — query helpers call this per table load, and
+    re-sending ~10 confs over py4j each time is measurable overhead."""
+    if getattr(spark, "_engine_tuned", False):
+        return spark
+    try:
+        spark._engine_tuned = True
+    except Exception:
+        pass
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)

@@ -1,0 +1,58 @@
+"""Per-query Spark-vs-DuckDB wall-time ratio at a given SF (the bench
+gate is <=2x). Both engines warm, same host. Usage:
+
+    python tools/ratio.py [sf_dir] [runs]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+
+    from etl_poor_main_pipeline_spark.registry import oracle_sql, queries
+    from etl_poor_main_pipeline_spark.session import get_spark
+
+    con = duckdb.connect()
+    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    spark = get_spark(master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs, osql = queries(), oracle_sql()
+    qs["flagship_silver_shape"](spark, sf_dir).count()  # warm-up
+
+    rows = []
+    for name, fn in qs.items():
+        spark_t = min(_time(lambda: fn(spark, sf_dir).count()) for _ in range(runs))
+        if name in osql:
+            duck_t = min(_time(lambda: con.execute(osql[name]).fetchall()) for _ in range(runs))
+            ratio = spark_t / duck_t if duck_t > 0 else float("inf")
+            rows.append((ratio, name, spark_t, duck_t))
+        else:
+            rows.append((0.0, name, spark_t, None))
+    rows.sort(reverse=True)
+    print(f"{'query':35s} {'spark':>8s} {'duck':>8s} {'ratio':>7s}")
+    for ratio, name, s, d in rows:
+        dtxt = f"{d:8.3f}" if d is not None else "    (na)"
+        rtxt = f"{ratio:7.1f}" if d is not None else "       "
+        flag = "  <-- >2x" if d is not None and ratio > 2 else ""
+        print(f"{name:35s} {s:8.3f} {dtxt} {rtxt}{flag}")
+
+
+def _time(f) -> float:
+    t0 = time.perf_counter()
+    f()
+    return time.perf_counter() - t0
+
+
+if __name__ == "__main__":
+    main()

@@ -1300,9 +1300,19 @@ REGISTRY: dict[str, QuerySpec] = {
 }
 
 
+def _full_registry() -> dict[str, QuerySpec]:
+    from .registry_ext import REGISTRY_EXT
+
+    merged = dict(REGISTRY)
+    merged.update(REGISTRY_EXT)
+    return merged
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    return {name: spec.fn for name, spec in _full_registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
+    return {
+        name: spec.oracle for name, spec in _full_registry().items() if spec.oracle is not None
+    }

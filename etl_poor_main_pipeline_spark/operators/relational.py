@@ -118,3 +118,30 @@ def top_k(df: DataFrame, order: Sequence[Column], k: int) -> DataFrame:
     """ORDER BY ... LIMIT k. Spark plans this as TakeOrderedAndProject — a
     per-partition top-k + driver merge, no global sort shuffle."""
     return df.orderBy(*order).limit(k)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Skew-mitigated equi-join: identical results to ``left.join(right,
+    on)``, but hot keys spread across ``salt_buckets`` reducers.
+
+    Left rows get a deterministic salt (hash of the whole row mod k);
+    right rows replicate to all k salts; the join key becomes
+    (key, salt). Use when one join key dominates (power-law keys) and the
+    build side is too big to broadcast — AQE's skew-join handles moderate
+    skew automatically, salting is the explicit heavy-hammer for extreme
+    cases. Replication multiplies the right side by k: keep the smaller
+    relation on the right.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_buckets))
+    l_salted = left.withColumn("_salt", salt)
+    r_salted = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    out = l_salted.join(r_salted, on=[on, "_salt"], how=how)
+    return out.drop("_salt")

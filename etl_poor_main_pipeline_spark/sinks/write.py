@@ -55,6 +55,26 @@ def write_partition_overwrite(
     return True
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: pre-shuffles once at write time so every
+    later join/aggregate on ``bucket_cols`` between co-bucketed tables
+    needs NO exchange — the 100 TB answer for repeatedly-joined fact
+    tables (pay the shuffle once, reuse forever). Sorting within buckets
+    additionally removes the sort from sort-merge joins.
+    """
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+
+
 def register_table(
     spark: SparkSession,
     ref: TableRef,

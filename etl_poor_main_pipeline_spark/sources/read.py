@@ -114,6 +114,37 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFram
     return tuple(load_table(spark, sf_dir, n) for n in names)
 
 
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: dict[str, str] | T.StructType,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """Schema-declared CSV scan. Schema is mandatory: CSV inference costs a
+    full extra pass over the data and is banned for declared tables
+    (same schema-on-write stance as parquet, SURVEY §1.3)."""
+    st = schema if isinstance(schema, T.StructType) else schema_from_dict(schema)
+    return (
+        spark.read.schema(st)
+        .option("header", str(header).lower())
+        .option("delimiter", delimiter)
+        .csv(path)
+    )
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: dict[str, str] | T.StructType,
+) -> DataFrame:
+    """Schema-declared JSON-lines scan (one object per line — the only
+    JSON layout that splits across executors; multiline JSON is a
+    single-task read and is deliberately not offered)."""
+    st = schema if isinstance(schema, T.StructType) else schema_from_dict(schema)
+    return spark.read.schema(st).json(path)
+
+
 def from_pandas(spark: SparkSession, pdf, schema: dict[str, str] | None = None) -> DataFrame:
     """S6 pandas -> engine handoff (Arrow-accelerated createDataFrame)."""
     df = spark.createDataFrame(pdf)

@@ -12,10 +12,15 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from etl_poor_main_pipeline_spark.session import get_spark
 
-    spark = get_spark(app_name="tests", master="local[8]")
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    spark = get_spark(
+        app_name="tests",
+        master="local[8]",
+        extra_confs={"spark.sql.warehouse.dir": wh},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     yield spark
     spark.stop()

@@ -1,0 +1,50 @@
+import json
+
+from etl_poor_main_pipeline_spark.sources.read import (
+    from_pandas,
+    load_table,
+    read_csv,
+    read_json,
+    read_table,
+)
+
+
+def test_read_csv_declared_schema(spark, tmp_path):
+    p = tmp_path / "data.csv"
+    p.write_text("city,temp\nNYC,21.5\nLA,bad\n")
+    df = read_csv(spark, str(p), {"city": "VARCHAR", "temp": "DOUBLE"})
+    rows = {r.city: r.temp for r in df.collect()}
+    assert rows["NYC"] == 21.5
+    assert rows["LA"] is None  # malformed -> NULL, not a crash
+
+
+def test_read_json_lines(spark, tmp_path):
+    p = tmp_path / "data.jsonl"
+    p.write_text("\n".join(json.dumps({"city": c, "temp": t}) for c, t in [("NYC", 1.5), ("LA", 2.5)]))
+    df = read_json(spark, str(p), {"city": "VARCHAR", "temp": "DOUBLE"})
+    assert df.count() == 2
+    assert dict(df.dtypes) == {"city": "string", "temp": "double"}
+
+
+def test_from_pandas_arrow_handoff(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame({"a": [1, 2], "b": ["x", "y"]})
+    df = from_pandas(spark, pdf, {"a": "BIGINT", "b": "VARCHAR"})
+    assert df.count() == 2 and dict(df.dtypes) == {"a": "bigint", "b": "string"}
+
+
+def test_load_table_events_ts_is_timestamp(spark):
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+
+
+def test_read_table_with_declared_schema_subset(spark):
+    # declared-schema read prunes to the declared columns (S2)
+    df = read_table(
+        spark,
+        "/root/testdata/sf0.001/orders.parquet",
+        {"o_orderkey": "BIGINT", "o_orderstatus": "VARCHAR"},
+    )
+    assert df.columns == ["o_orderkey", "o_orderstatus"]
+    assert df.count() == 1500

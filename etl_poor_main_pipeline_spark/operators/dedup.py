@@ -206,6 +206,60 @@ def jaccard_token_sets(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation — the
+    collapse step of near-dup dedup (every doc in a duplicate cluster maps
+    to the cluster's min id).
+
+    ``pairs`` has (id_a, id_b) edges; ``nodes`` lists all ids (singletons
+    become their own component). Each iteration joins labels across edges
+    and keeps the min; converges in O(cluster diameter) rounds — near-dup
+    clusters are shallow (diameter ~2-4), so a handful of shuffles total.
+    Labels are checkpointed per round via localCheckpoint to keep the plan
+    from growing unboundedly (lineage blow-up is the classic failure mode
+    of iterative DataFrame algorithms).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("component"))
+    for _ in range(max_iterations):
+        # candidate label for each node: min over neighbors' labels
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), "component")
+
+
 def simhash_signatures(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
     """64-bit SimHash per document from token hashes.
 

@@ -1302,9 +1302,11 @@ REGISTRY: dict[str, QuerySpec] = {
 
 def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext import REGISTRY_EXT
+    from .registry_ext2 import REGISTRY_EXT2
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
+    merged.update(REGISTRY_EXT2)
     return merged
 
 

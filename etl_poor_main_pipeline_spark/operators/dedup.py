@@ -45,6 +45,7 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 64,
     shingle_k: int = 3,
+    id_cols: list[str] | None = None,
 ) -> DataFrame:
     """MinHash signature per document, as pure expressions.
 
@@ -53,6 +54,12 @@ def minhash_signatures(
     deterministic across runs. ``xxhash64`` supplies the base shingle hash
     (JVM intrinsic, no Python). p = 2^31-1 (Mersenne prime) keeps every
     intermediate product under 2^62, inside int64 with ANSI mode on.
+
+    Shape: entirely map-side — shingle-hash array per row, then one
+    array_min(transform(...)) per hash function. No explode, no shuffle;
+    signatures stream out of the scan stage. (The explode +
+    groupBy(doc).agg(min x64) alternative forces a shuffle by doc id and
+    measured ~20x slower at sf0.1.)
     """
     p = (1 << 31) - 1
     import random
@@ -60,22 +67,24 @@ def minhash_signatures(
     rnd = random.Random(42)
     coeffs = [(rnd.randrange(1, p), rnd.randrange(0, p)) for _ in range(num_hashes)]
 
-    # explode shingles to rows and take the per-doc min of each permuted
-    # hash as plain aggregate columns: one codegen'd hash aggregate,
-    # instead of num_hashes interpreted array-lambda passes per document
-    keep_cols = df.columns
-    exploded = df.select(
-        *keep_cols,
-        F.explode_outer(F.array_distinct(shingles_expr(text_col, shingle_k))).alias("_sh"),
-    ).withColumn("_h", F.pmod(F.xxhash64(F.col("_sh")), F.lit(p)))
-    mins = [
-        F.min(F.pmod(F.col("_h") * F.lit(a) + F.lit(b), F.lit(p))).alias(f"_mh_{i}")
-        for i, (a, b) in enumerate(coeffs)
-    ]
-    agg = exploded.groupBy(*keep_cols).agg(*mins)
-    return agg.select(
-        *keep_cols, F.array(*[F.col(f"_mh_{i}") for i in range(num_hashes)]).alias("minhash")
+    keep_cols = id_cols if id_cols else df.columns
+    hashes = F.transform(
+        F.array_distinct(shingles_expr(text_col, shingle_k)),
+        lambda s: F.pmod(F.xxhash64(s), F.lit(p)),
     )
+    # _hs is referenced num_hashes times: keep it in its own projection —
+    # Catalyst's CollapseProject leaves multi-referenced non-trivial
+    # aliases alone, so tokenization/hashing runs once per row
+    with_hashes = df.select(*keep_cols, hashes.alias("_hs"))
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(F.col("_hs"), lambda x: F.pmod(x * F.lit(a) + F.lit(b), F.lit(p)))
+            )
+            for (a, b) in coeffs
+        ]
+    )
+    return with_hashes.select(*keep_cols, sig.alias("minhash"))
 
 
 def minhash_lsh_candidates(
@@ -84,6 +93,8 @@ def minhash_lsh_candidates(
     num_bands: int = 16,
     rows_per_band: int = 4,
     max_bucket_size: int | None = 500,
+    block_cols: list[str] | None = None,
+    distinct: bool = True,
 ) -> DataFrame:
     """Band the signatures and self-join on band buckets -> candidate pairs.
 
@@ -100,30 +111,28 @@ def minhash_lsh_candidates(
     """
     bands = sig_df.select(
         F.col(id_col),
-        F.explode(
+        *(F.col(c) for c in (block_cols or [])),
+        F.posexplode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("minhash")[b * rows_per_band + r].cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("minhash")[b * rows_per_band + r].cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        )
                     )
                     for b in range(num_bands)
                 ]
             )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+        ).alias("band", "bucket"),
+    )
     if max_bucket_size is not None:
         from pyspark.sql.window import Window
 
-        w = Window.partitionBy("band", "bucket")
+        w = Window.partitionBy(*(block_cols or []), "band", "bucket")
         bands = (
             bands.withColumn("_bsz", F.count(F.lit(1)).over(w))
             .filter(F.col("_bsz") <= max_bucket_size)
@@ -131,15 +140,58 @@ def minhash_lsh_candidates(
         )
     a = bands.alias("a")
     b = bands.alias("b")
+    cond = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    )
+    for c in block_cols or []:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    out = a.join(b, cond).select(
+        F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+    )
+    # distinct=False returns the raw multi-band pair stream (a pair
+    # colliding in k bands appears k times). When a cheap map-side
+    # verification follows, deduplicating *after* verification is far
+    # cheaper than a distinct here: verification shrinks the stream to
+    # true pairs first, so the shuffle dedups ~1M rows instead of ~19M
+    # on a template-heavy corpus.
+    return out.distinct() if distinct else out
+
+
+def minhash_verify_candidates(
+    candidates: DataFrame,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact-Jaccard verification of LSH candidate pairs — the second half
+    of the MinHash dedup pipeline. Joins each candidate pair back to its
+    two token sets and keeps pairs with true Jaccard >= threshold.
+
+    At scale this is the whole point of LSH: the exact set intersection
+    runs on |candidates| pairs instead of the O(n^2) cross product."""
+    toks = df.select(
+        F.col(id_col).alias("_vid"),
+        F.array_distinct(tokens_expr(text_col)).alias("_vtok"),
+    )
+    ta = toks.select(F.col("_vid").alias("id_a"), F.col("_vtok").alias("_tok_a"))
+    tb = toks.select(F.col("_vid").alias("id_b"), F.col("_vtok").alias("_tok_b"))
+    inter = F.size(F.array_intersect(F.col("_tok_a"), F.col("_tok_b")))
+    union = F.size(F.col("_tok_a")) + F.size(F.col("_tok_b")) - inter
+    jac = F.round(inter.cast("double") / union.cast("double"), 6)
+    # token sets are per-document (tiny next to the candidate pair list):
+    # broadcast them so verification is a map-side join over candidates.
+    # dropDuplicates handles a non-distinct candidate stream (see
+    # minhash_lsh_candidates(distinct=False)) after the >= threshold
+    # filter has shrunk it.
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
+        candidates.join(F.broadcast(ta), "id_a")
+        .join(F.broadcast(tb), "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -211,19 +263,58 @@ def connected_components(
     nodes: DataFrame,
     id_col: str = "doc_id",
     max_iterations: int = 20,
+    driver_edge_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation — the
     collapse step of near-dup dedup (every doc in a duplicate cluster maps
     to the cluster's min id).
 
     ``pairs`` has (id_a, id_b) edges; ``nodes`` lists all ids (singletons
-    become their own component). Each iteration joins labels across edges
-    and keeps the min; converges in O(cluster diameter) rounds — near-dup
-    clusters are shallow (diameter ~2-4), so a handful of shuffles total.
-    Labels are checkpointed per round via localCheckpoint to keep the plan
-    from growing unboundedly (lineage blow-up is the classic failure mode
-    of iterative DataFrame algorithms).
+    become their own component).
+
+    Scale design: the duplicate-pair edge list is orders of magnitude
+    smaller than the corpus (it only contains near-dups), so when it fits
+    under ``driver_edge_threshold`` the components are solved with a
+    driver-side union-find in one pass and broadcast back — one collect of
+    the (already tiny) pairs instead of O(diameter) shuffle rounds. Above
+    the threshold, falls back to distributed min-label propagation: each
+    iteration joins labels across edges and keeps the min; converges in
+    O(cluster diameter) rounds, with labels checkpointed per round via
+    localCheckpoint to keep the plan from growing unboundedly (lineage
+    blow-up is the classic failure mode of iterative DataFrame algorithms).
     """
+    sampled = pairs.select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long")
+    ).take(driver_edge_threshold + 1)
+    if len(sampled) <= driver_edge_threshold:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in sampled:
+            ra, rb = find(row.id_a), find(row.id_b)
+            if ra != rb:
+                hi, lo = max(ra, rb), min(ra, rb)
+                parent[hi] = lo
+        mapping = [(x, find(x)) for x in list(parent)]
+        spark = nodes.sparkSession
+        base = nodes.select(F.col(id_col).cast("long").alias(id_col))
+        if not mapping:
+            return base.select(F.col(id_col), F.col(id_col).alias("component"))
+        mdf = spark.createDataFrame(mapping, ["node", "component"])
+        return (
+            base.join(F.broadcast(mdf), base[id_col] == mdf.node, "left")
+            .select(
+                F.col(id_col),
+                F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+            )
+        )
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -260,37 +351,33 @@ def connected_components(
     return labels.select(F.col("node").alias(id_col), "component")
 
 
-def simhash_signatures(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", bits: int = 64, id_cols: list[str] | None = None
+) -> DataFrame:
     """64-bit SimHash per document from token hashes.
 
-    Shape chosen for codegen: explode token hashes to rows, compute all 64
-    per-bit +1/-1 votes as plain aggregate columns (one whole-stage-codegen
-    hash aggregate), then OR the sign bits back into one long. The naive
-    alternative — 64 ``aggregate()`` higher-order lambdas per row — runs
-    interpreted and is ~10x slower.
+    Shape: entirely map-side — token-hash array per row, then one
+    aggregate() vote per bit folded into a single long. No explode, no
+    shuffle; signatures stream out of the scan stage (same reasoning as
+    ``minhash_signatures``).
     """
-    keep_cols = df.columns
-    exploded = df.select(
-        *keep_cols, F.explode_outer(tokens_expr(text_col)).alias("_tok")
-    ).withColumn("_h", F.xxhash64(F.col("_tok")))
+    keep_cols = id_cols if id_cols else df.columns
 
     def mask(i: int):
         return F.lit(1 << i) if i < 63 else F.lit(-(1 << 63))
 
-    votes = [
-        F.sum(
-            F.when(F.col("_h").isNull(), 0)
-            .when(F.col("_h").bitwiseAND(mask(i)) != 0, 1)
-            .otherwise(-1)
-        ).alias(f"_v{i}")
-        for i in range(bits)
-    ]
-    agg = exploded.groupBy(*keep_cols).agg(*votes)
+    hashes = F.transform(tokens_expr(text_col), lambda t: F.xxhash64(t))
+    with_hashes = df.select(*keep_cols, hashes.alias("_hs"))
     acc = None
     for i in range(bits):
-        bit = F.when(F.col(f"_v{i}") > 0, mask(i).cast("long")).otherwise(F.lit(0).cast("long"))
+        vote = F.aggregate(
+            F.col("_hs"),
+            F.lit(0),
+            lambda a, x: a + F.when(x.bitwiseAND(mask(i)) != 0, 1).otherwise(-1),
+        )
+        bit = F.when(vote > 0, mask(i).cast("long")).otherwise(F.lit(0).cast("long"))
         acc = bit if acc is None else acc.bitwiseOR(bit)
-    return agg.select(*keep_cols, acc.alias("simhash"))
+    return with_hashes.select(*keep_cols, acc.alias("simhash"))
 
 
 def simhash_near_dup_pairs(

@@ -978,23 +978,31 @@ WHERE round(cast(len(list_intersect(a.tok_set, b.tok_set)) as double)
 
 
 def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 scale path: MinHash(64) + LSH banding (16x4) candidate pairs.
-    shingle_k=1 so the signatures estimate the same token-set Jaccard the
-    exact twin computes (k>=2 would measure ordered shingle similarity).
-    Approximate by construction -> rows-only driver check; recall against
-    the exact pairs is asserted in tests."""
+    """X2 scale path: MinHash(60) + LSH banding candidate pairs, then
+    exact-Jaccard verification of just the candidates (the full
+    minhash-dedup pipeline: LSH prunes the O(n^2) pair space, the verify
+    join restores exact semantics). shingle_k=1 so signatures estimate the
+    same token-set Jaccard the exact twin computes. Approximate recall by
+    construction -> rows-only driver check; recall vs the exact pairs is
+    asserted in tests."""
     d = _t(spark, sf_dir, "documents")
-    sigs = dedup.minhash_signatures(d, num_hashes=60, shingle_k=1)
+    sigs = dedup.minhash_signatures(d, num_hashes=60, shingle_k=1, id_cols=["doc_id"])
+    # materialize the (tiny) signature table so the banding self-join
+    # doesn't recompute the map-side signature pipeline once per side
+    sigs = sigs.localCheckpoint(eager=False)
     # b=10, r=6: S-curve threshold ~0.84 — P(candidate)=0.95 at s=0.8 but
     # only 0.15 at s=0.5, keeping candidate volume near the true-pair count
-    return dedup.minhash_lsh_candidates(sigs, num_bands=10, rows_per_band=6)
+    cands = dedup.minhash_lsh_candidates(sigs, num_bands=10, rows_per_band=6)
+    # verify candidates with the exact set intersection — LSH prunes the
+    # O(n^2) pair space, verification restores exact >=0.8 semantics
+    return dedup.minhash_verify_candidates(cands, d, threshold=0.8)
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(64) near-dup pairs at Hamming<=3 via block-permutation
     join. Deterministic but bit-twiddling-heavy -> rows-only check."""
     d = _t(spark, sf_dir, "documents")
-    sigs = dedup.simhash_signatures(d)
+    sigs = dedup.simhash_signatures(d, id_cols=["doc_id"]).localCheckpoint(eager=False)
     return dedup.simhash_near_dup_pairs(sigs, max_hamming=3)
 
 
@@ -1303,10 +1311,12 @@ REGISTRY: dict[str, QuerySpec] = {
 def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext import REGISTRY_EXT
     from .registry_ext2 import REGISTRY_EXT2
+    from .registry_ext3 import REGISTRY_EXT3
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
     merged.update(REGISTRY_EXT2)
+    merged.update(REGISTRY_EXT3)
     return merged
 
 

@@ -66,16 +66,21 @@ FROM scored
 
 
 def q_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[EXT] X6 n-grams: top-30 token bigrams across the corpus."""
+    """[EXT] X6 n-grams: top-30 token bigrams across the corpus.
+
+    Bigrams come from zip_with over two shifted slices of a materialized
+    token array — one tokenization pass; the transform-over-sequence
+    alternative re-evaluates the tokenizer per index and measured ~7x
+    slower at sf0.1."""
     d = _t(spark, sf_dir, "documents")
-    toks = tokens_expr(F.col("text"))
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), n - F.lit(2))
-    bigrams = F.when(
-        n >= 2, F.transform(idx, lambda i: F.concat_ws(" ", toks[i], toks[i + F.lit(1)]))
-    ).otherwise(F.array())
+    toks = d.select(tokens_expr(F.col("text")).alias("t"))
+    bigrams = F.expr(
+        "CASE WHEN size(t) >= 2 THEN "
+        "zip_with(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1), (x, y) -> concat(x, ' ', y)) "
+        "ELSE array() END"
+    )
     return (
-        d.select(F.explode(bigrams).alias("bigram"))
+        toks.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("bigram").asc())

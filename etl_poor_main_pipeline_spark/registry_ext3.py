@@ -424,10 +424,22 @@ FROM documents
 def q_dedup_char_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] X2 character 3-gram shingle Jaccard pairs (>= 0.7, blocked by
     lang + length window) — the shingle-level complement of token-set
-    Jaccard, robust to word-boundary edits."""
+    Jaccard, robust to word-boundary edits.
+
+    Shingles are xxhash64-hashed before the pairwise intersection:
+    |A∩B| over distinct 64-bit hashes equals |A∩B| over the strings
+    unless xxhash64 collides within a document pair (probability ~1e-13
+    at ~1k shingles/doc), and bigint set-intersection measured 2x faster
+    than 3-char-string intersection at sf0.1. The DuckDB oracle computes
+    the same Jaccard over raw shingle strings. The per-side
+    localCheckpoint stops the (expensive) shingle extraction from being
+    recomputed by each side of the self-join."""
     d = _t(spark, sf_dir, "documents")
     shingles = F.array_distinct(
-        F.expr("transform(sequence(1, greatest(length(text) - 2, 0)), i -> substr(text, i, 3))")
+        F.expr(
+            "transform(transform(sequence(1, greatest(length(text) - 2, 0)),"
+            " i -> substr(text, i, 3)), s -> xxhash64(s))"
+        )
     )
     base = (
         d.select(
@@ -438,6 +450,7 @@ def q_dedup_char_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             shingles.alias("sh"),
         )
         .withColumn("_nsh", F.size("sh"))
+        .localCheckpoint(eager=False)
     )
     a = base.select(
         "*", F.explode(F.array(F.col("_bkt") - 1, F.col("_bkt"), F.col("_bkt") + 1)).alias("_jbkt")

@@ -63,3 +63,15 @@ def test_no_python_row_udfs_in_topk_plan(spark):
     e = load_table(spark, SF, "embeddings")
     q = list(e.filter(F.col("vec_id") == 0).head().embedding)
     assert_no_python_udf(topk_cosine(e, q, k=5))
+
+
+def test_srp_lsh_recall_at_10(spark):
+    from etl_poor_main_pipeline_spark.registry_ext4 import q_similarity_srp_lsh
+
+    e = load_table(spark, SF, "embeddings")
+    q = list(e.filter(F.col("vec_id") == 0).head().embedding)
+    exact = {r.vec_id for r in topk_cosine(e.filter(F.col("vec_id") != 0), q, k=10).collect()}
+    approx = {r.vec_id for r in q_similarity_srp_lsh(spark, SF).collect()}
+    # 16 sign bits with Hamming<=4 probing: expect >=40% overlap on the
+    # random-ish fixture vectors (same bar as IVF)
+    assert len(exact & approx) >= 4

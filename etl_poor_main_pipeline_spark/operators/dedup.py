@@ -219,13 +219,18 @@ def jaccard_token_sets(
     bound |A|,|B| ratio >= t implied by Jaccard >= t.
     """
     bucket_w = length_window if length_window is not None else 1 << 30
+    # token sets are xxhash64-hashed: the pairwise intersection only needs
+    # set cardinalities, and bigint intersection measured ~2x faster than
+    # string intersection (collision probability within a pair ~1e-13)
     base = df.select(
         F.col(id_col),
         *(F.col(c) for c in (block_cols or [])),
         F.col(length_col),
         F.floor(F.col(length_col) / F.lit(bucket_w)).cast("long").alias("_bkt"),
-        F.array_distinct(tokens_expr(text_col)).alias("tok_set"),
-    ).withColumn("_ntok", F.size(F.col("tok_set")))
+        F.transform(F.array_distinct(tokens_expr(text_col)), lambda t: F.xxhash64(t)).alias(
+            "tok_set"
+        ),
+    ).withColumn("_ntok", F.size(F.col("tok_set"))).localCheckpoint(eager=False)
     a = base.select(
         "*", F.explode(F.array(F.col("_bkt") - 1, F.col("_bkt"), F.col("_bkt") + 1)).alias("_jbkt")
     ).drop("_bkt").alias("a")

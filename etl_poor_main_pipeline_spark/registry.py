@@ -1313,12 +1313,14 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext2 import REGISTRY_EXT2
     from .registry_ext3 import REGISTRY_EXT3
     from .registry_ext4 import REGISTRY_EXT4
+    from .registry_ext5 import REGISTRY_EXT5
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
     merged.update(REGISTRY_EXT2)
     merged.update(REGISTRY_EXT3)
     merged.update(REGISTRY_EXT4)
+    merged.update(REGISTRY_EXT5)
     return merged
 
 

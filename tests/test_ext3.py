@@ -53,3 +53,22 @@ def test_sample_fraction_close(spark):
     frac = n_sampled / n_rows
     # md5-prefix < '10' keeps 1/16 of key-space; orders have ~4 lines each
     assert 0.03 < frac < 0.10
+
+
+def test_approx_percentile_close_to_exact(spark):
+    from pyspark.sql import functions as F
+    from etl_poor_main_pipeline_spark.registry_ext5 import q_approx_percentile
+
+    approx = {
+        r.l_returnflag: r.approx_pcts for r in q_approx_percentile(spark, SF).collect()
+    }
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    exact = {
+        r.l_returnflag: r.pcts
+        for r in li.groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").alias("pcts"))
+        .collect()
+    }
+    for flag, ap in approx.items():
+        for a, e in zip(ap, exact[flag]):
+            assert abs(a - e) / e < 0.05  # sketch within 5% of exact

@@ -145,6 +145,27 @@ def read_json(
     return spark.read.schema(st).json(path)
 
 
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    schema: dict[str, str] | T.StructType | None = None,
+) -> DataFrame:
+    """ORC scan (columnar, footer-typed like parquet, so the schema is
+    optional and used only as a projection/cast contract when given)."""
+    reader = spark.read
+    if schema is not None:
+        st = schema if isinstance(schema, T.StructType) else schema_from_dict(schema)
+        reader = reader.schema(st)
+    return reader.orc(path)
+
+
+def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Raw text-line scan: one row per line in a single `value` string
+    column — the ingestion primitive for unstructured corpora (each line
+    parsed downstream with expressions, not during the scan)."""
+    return spark.read.text(path)
+
+
 def from_pandas(spark: SparkSession, pdf, schema: dict[str, str] | None = None) -> DataFrame:
     """S6 pandas -> engine handoff (Arrow-accelerated createDataFrame)."""
     df = spark.createDataFrame(pdf)

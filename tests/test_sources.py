@@ -48,3 +48,24 @@ def test_read_table_with_declared_schema_subset(spark):
     )
     assert df.columns == ["o_orderkey", "o_orderstatus"]
     assert df.count() == 1500
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from etl_poor_main_pipeline_spark.sources.read import read_orc
+
+    src = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    dst = str(tmp_path / "nation_orc")
+    src.write.orc(dst)
+    back = read_orc(spark, dst)
+    assert back.count() == src.count()
+    assert {r.n_name for r in back.collect()} == {r.n_name for r in src.collect()}
+
+
+def test_text_lines_source(spark, tmp_path):
+    from etl_poor_main_pipeline_spark.sources.read import read_text_lines
+
+    p = tmp_path / "corpus.txt"
+    p.write_text("alpha beta\ngamma\n")
+    df = read_text_lines(spark, str(p))
+    assert df.columns == ["value"]
+    assert sorted(r.value for r in df.collect()) == ["alpha beta", "gamma"]

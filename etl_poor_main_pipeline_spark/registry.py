@@ -1314,6 +1314,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext3 import REGISTRY_EXT3
     from .registry_ext4 import REGISTRY_EXT4
     from .registry_ext5 import REGISTRY_EXT5
+    from .registry_ext6 import REGISTRY_EXT6
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1321,6 +1322,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT3)
     merged.update(REGISTRY_EXT4)
     merged.update(REGISTRY_EXT5)
+    merged.update(REGISTRY_EXT6)
     return merged
 
 

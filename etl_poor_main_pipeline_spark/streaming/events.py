@@ -125,6 +125,55 @@ def sessionize_stream(
     )
 
 
+def enrich_stream(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
+    """Stream-static join: enrich each event micro-batch with a slowly
+    changing dimension. The static side is re-resolved per micro-batch
+    (so a refreshed dim table is picked up) and Spark broadcasts it when
+    small — the streaming analogue of the silver-layer enrichment joins.
+    """
+    return events.join(F.broadcast(dim), on=on, how="left")
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence per key wins, with state
+    bounded by the watermark (without it, the seen-keys state grows
+    forever — the unbounded-state mistake). Batch twin: X1 dedup_exact.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicates(
+        (keys or ["event_id"]) + ["ts"]
+    )
+
+
+def stream_to_partitioned_parquet(
+    stream_df: DataFrame,
+    ref,
+    lake_root: str,
+    checkpoint_dir: str,
+) -> None:
+    """foreachBatch sink reusing the batch partition-overwrite writer —
+    the streaming version of the reference's idempotent delete-and-insert
+    (utils/duckdb_utils.py:61-190): a replayed micro-batch overwrites
+    only the partitions it touches, so a restart after a sink-side crash
+    rewrites rather than duplicates (the checkpoint dedups source-side).
+    """
+    from ..sinks.write import write_partition_overwrite
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        write_partition_overwrite(batch_df, ref, lake_root)
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
 def run_to_memory(stream_df: DataFrame, query_name: str) -> "DataFrame":
     """Drain all available input into an in-memory table (test helper):
     trigger(availableNow) processes everything then stops."""

@@ -19,6 +19,19 @@ from pyspark.sql import functions as F
 from ..functions.text import fingerprint_md5, shingles_expr, tokens_expr
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's core count when the input arrives
+    in fewer partitions (e.g. one small parquet file -> one split). The
+    signature/shingle pipelines here are CPU-bound expressions, and a
+    single input split would serialize them on one core. No-op at scale,
+    where the scan already yields >= defaultParallelism splits — so this
+    never adds a shuffle to a big input."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(df: DataFrame, subset: list[str], id_col: str = "doc_id") -> DataFrame:
     """X1 exact dedup, deterministic representative = min id per key group.
 
@@ -75,7 +88,7 @@ def minhash_signatures(
     # _hs is referenced num_hashes times: keep it in its own projection —
     # Catalyst's CollapseProject leaves multi-referenced non-trivial
     # aliases alone, so tokenization/hashing runs once per row
-    with_hashes = df.select(*keep_cols, hashes.alias("_hs"))
+    with_hashes = spread(df).select(*keep_cols, hashes.alias("_hs"))
     sig = F.array(
         *[
             F.array_min(
@@ -172,9 +185,14 @@ def minhash_verify_candidates(
 
     At scale this is the whole point of LSH: the exact set intersection
     runs on |candidates| pairs instead of the O(n^2) cross product."""
-    toks = df.select(
+    toks = spread(df).select(
         F.col(id_col).alias("_vid"),
-        F.array_distinct(tokens_expr(text_col)).alias("_vtok"),
+        # hash tokens to bigint: the Jaccard only needs set cardinalities,
+        # and bigint array_intersect measured ~2x faster than string
+        # intersect (per-pair collision odds ~1e-13)
+        F.transform(F.array_distinct(tokens_expr(text_col)), lambda t: F.xxhash64(t)).alias(
+            "_vtok"
+        ),
     )
     ta = toks.select(F.col("_vid").alias("id_a"), F.col("_vtok").alias("_tok_a"))
     tb = toks.select(F.col("_vid").alias("id_b"), F.col("_vtok").alias("_tok_b"))
@@ -187,7 +205,7 @@ def minhash_verify_candidates(
     # minhash_lsh_candidates(distinct=False)) after the >= threshold
     # filter has shrunk it.
     return (
-        candidates.join(F.broadcast(ta), "id_a")
+        spread(candidates).join(F.broadcast(ta), "id_a")
         .join(F.broadcast(tb), "id_b")
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= F.lit(threshold))
@@ -222,7 +240,7 @@ def jaccard_token_sets(
     # token sets are xxhash64-hashed: the pairwise intersection only needs
     # set cardinalities, and bigint intersection measured ~2x faster than
     # string intersection (collision probability within a pair ~1e-13)
-    base = df.select(
+    base = spread(df).select(
         F.col(id_col),
         *(F.col(c) for c in (block_cols or [])),
         F.col(length_col),
@@ -372,7 +390,7 @@ def simhash_signatures(
         return F.lit(1 << i) if i < 63 else F.lit(-(1 << 63))
 
     hashes = F.transform(tokens_expr(text_col), lambda t: F.xxhash64(t))
-    with_hashes = df.select(*keep_cols, hashes.alias("_hs"))
+    with_hashes = spread(df).select(*keep_cols, hashes.alias("_hs"))
     acc = None
     for i in range(bits):
         vote = F.aggregate(

@@ -992,7 +992,11 @@ def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = sigs.localCheckpoint(eager=False)
     # b=10, r=6: S-curve threshold ~0.84 — P(candidate)=0.95 at s=0.8 but
     # only 0.15 at s=0.5, keeping candidate volume near the true-pair count
-    cands = dedup.minhash_lsh_candidates(sigs, num_bands=10, rows_per_band=6)
+    # distinct=False: with the parallel bigint-hashed verification the
+    # map-side intersect on the raw multi-band stream is cheaper than a
+    # distinct shuffle first (measured ~4s vs ~6s warm at sf0.1);
+    # verification dedups the surviving true pairs
+    cands = dedup.minhash_lsh_candidates(sigs, num_bands=10, rows_per_band=6, distinct=False)
     # verify candidates with the exact set intersection — LSH prunes the
     # O(n^2) pair space, verification restores exact >=0.8 semantics
     return dedup.minhash_verify_candidates(cands, d, threshold=0.8)

@@ -441,8 +441,10 @@ def q_dedup_char_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             " i -> substr(text, i, 3)), s -> xxhash64(s))"
         )
     )
+    from .operators.dedup import spread
+
     base = (
-        d.select(
+        spread(d).select(
             "doc_id",
             "lang",
             "n_chars",

@@ -1319,6 +1319,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext4 import REGISTRY_EXT4
     from .registry_ext5 import REGISTRY_EXT5
     from .registry_ext6 import REGISTRY_EXT6
+    from .registry_ext7 import REGISTRY_EXT7
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1327,6 +1328,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT4)
     merged.update(REGISTRY_EXT5)
     merged.update(REGISTRY_EXT6)
+    merged.update(REGISTRY_EXT7)
     return merged
 
 

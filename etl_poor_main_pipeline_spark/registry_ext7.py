@@ -1,0 +1,187 @@
+"""Operator registry, wave 8: large-pipeline scale patterns — mergeable
+HLL sketches (the partial-agg story for 100 TB distinct counts),
+manual runtime-filter pushdown (dim-derived IN list pushed into the fact
+scan), vector L2 normalization, per-group min-max feature scaling, and
+deterministic stratified sampling. Same conventions as registry.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import QuerySpec, _dsum, _dsum_sql, _t
+
+
+def q_sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Mergeable HLL sketches (Datasketches): build one sketch of
+    customer keys per order priority, then union the per-group sketches
+    into a global estimate — the two-level shape that makes 100 TB
+    distinct-counting cheap: sketches combine map-side, only KB-sized
+    binaries shuffle, and pre-aggregated rollups stay re-mergeable
+    (unlike plain approx_count_distinct, whose groups can't be combined
+    after the fact). Estimates are implementation-specific -> rows-only
+    driver check; the unit test pins estimate-vs-exact error."""
+    o = _t(spark, sf_dir, "orders")
+    per_group = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    return per_group.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_total_customers"),
+    )
+
+
+def q_runtime_filter_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual runtime filter: resolve a tiny dimension predicate to a key
+    list on the driver, then push it into the fact scan as an IN filter —
+    the hand-rolled version of DPP/runtime bloom filters. `.explain` shows
+    the In(l_suppkey, [...]) inside PushedFilters, so parquet row-group
+    stats prune before any join runs. Correct only while the dim side is
+    tiny (here: suppliers of one region); the broadcast semi join
+    (join_semi) is the general path. Oracle: the equivalent IN subquery."""
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    re = _t(spark, sf_dir, "region")
+    keys = [
+        r.s_suppkey
+        for r in su.join(na, su.s_nationkey == na.n_nationkey)
+        .join(re, na.n_regionkey == re.r_regionkey)
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey")
+        .collect()
+    ]
+    li = _t(spark, sf_dir, "lineitem")
+    # empty key list would make isin() vacuously false with a warning;
+    # lit(False) keeps the plan honest
+    pred = F.col("l_suppkey").isin(keys) if keys else F.lit(False)
+    return (
+        li.filter(pred)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            _dsum(F.col("l_extendedprice"), "sum_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_ORACLE_RUNTIME_FILTER = f"""
+SELECT l_returnflag, cast(count(*) as bigint) AS n_rows,
+       {_dsum_sql('l_extendedprice', 'sum_price')}
+FROM lineitem
+WHERE l_suppkey IN (
+  SELECT s_suppkey FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+)
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q_vector_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] X3-support: L2 norm + unit-normalization of the embedding
+    column as pure expressions (aggregate for the norm, transform for the
+    scale) — the standard pre-step before cosine = dot product. Projects
+    (vec_id, norm, first component of the unit vector); rounding pins the
+    cross-engine float repr."""
+    e = _t(spark, sf_dir, "embeddings")
+    sumsq = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    norm = F.sqrt(sumsq)
+    return e.select(
+        "vec_id",
+        F.round(norm, 6).alias("l2_norm"),
+        F.round(F.col("embedding")[0].cast("double") / norm, 6).alias("unit_first"),
+    ).orderBy("vec_id")
+
+
+_ORACLE_L2_NORM = """
+SELECT vec_id,
+       round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6) AS l2_norm,
+       round(embedding[1]::DOUBLE /
+             sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6) AS unit_first
+FROM embeddings
+ORDER BY vec_id
+"""
+
+
+def q_feature_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Per-group min-max feature scaling via window min/max — one
+    shuffle on the group key, no collect, no second pass (the
+    groupBy+join alternative shuffles twice). NULL-safe: a constant
+    group (max = min) scales to 0.0."""
+    c = _t(spark, sf_dir, "customer")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("c_mktsegment")
+    lo, hi = F.min("c_acctbal").over(w), F.max("c_acctbal").over(w)
+    scaled = F.when(hi == lo, F.lit(0.0)).otherwise(
+        (F.col("c_acctbal") - lo) / (hi - lo)
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(scaled, 6).alias("acctbal_scaled"),
+    ).orderBy("c_custkey")
+
+
+_ORACLE_MINMAX = """
+SELECT c_custkey, c_mktsegment,
+       round(CASE WHEN mx = mn THEN 0.0 ELSE (c_acctbal - mn) / (mx - mn) END, 6)
+         AS acctbal_scaled
+FROM (
+  SELECT c_custkey, c_mktsegment, c_acctbal,
+         min(c_acctbal) OVER (PARTITION BY c_mktsegment) AS mn,
+         max(c_acctbal) OVER (PARTITION BY c_mktsegment) AS mx
+  FROM customer
+)
+ORDER BY c_custkey
+"""
+
+
+def q_stratified_sample_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Deterministic stratified sampling: per-language target rates
+    (downsample the majority strata, keep the tail) applied via an
+    md5-threshold on the key — reproducible across engines and runs,
+    unlike sampleBy's RNG. The per-stratum counts make the rate
+    assertion visible."""
+    d = _t(spark, sf_dir, "documents")
+    # hex-prefix compare: md5 is lowercase hex in both engines, so a
+    # 2-char string threshold IS the numeric bucket compare ('40' = 64/256)
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    rate = (
+        F.when(F.col("lang") == "en", F.lit("40"))  # keep 64/256 of english
+        .when(F.col("lang") == "de", F.lit("80"))  # 128/256 of german
+        .otherwise(F.lit("zz"))  # keep all low-resource strata
+    )
+    return (
+        d.filter(bucket < rate)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"))
+        .orderBy("lang")
+    )
+
+
+_ORACLE_STRATIFIED = """
+SELECT lang, cast(count(*) as bigint) AS n_kept
+FROM documents
+WHERE substr(md5(cast(doc_id as varchar)), 1, 2)
+      < (CASE lang WHEN 'en' THEN '40' WHEN 'de' THEN '80' ELSE 'zz' END)
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+REGISTRY_EXT7: dict[str, QuerySpec] = {
+    "sketch_hll_mergeable": QuerySpec(q_sketch_hll_mergeable, None, "§2.6 agg approx [EXT]"),
+    "runtime_filter_semi": QuerySpec(q_runtime_filter_semi, _ORACLE_RUNTIME_FILTER, "§2.6 join"),
+    "vector_l2_normalize": QuerySpec(q_vector_l2_normalize, _ORACLE_L2_NORM, "X3"),
+    "feature_minmax_scale": QuerySpec(q_feature_minmax_scale, _ORACLE_MINMAX, "X6/X7 [EXT]"),
+    "stratified_sample_md5": QuerySpec(q_stratified_sample_md5, _ORACLE_STRATIFIED, "X8"),
+}

@@ -94,3 +94,18 @@ def test_silver_prunes_partition(spark, lake):
     df = read_partition(spark, BRONZE_TABLE.path(lake), "2026-01-01")
     assert has_partition_filter(df, "date_id")
     assert df.count() == 5
+
+
+def test_runnable_main_bronze_silver(spark, tmp_path):
+    """E4 parity: the `python -m …pipelines` entry point runs a layer with
+    the offline fetch and a today's-date default (here pinned)."""
+    from etl_poor_main_pipeline_spark.pipelines.__main__ import main
+
+    lake = str(tmp_path / "lake")
+    assert main(["bronze", "--lake-root", lake, "--date-id", "2026-01-05"]) == 0
+    assert main(
+        ["silver", "--lake-root", lake, "--date-id", "2026-01-05", "--country", "CA"]
+    ) == 0
+    out = spark.read.parquet(f"{lake}/analytics/canada_weather")
+    assert out.count() > 0
+    assert set(out.select("country").distinct().toPandas().country) == {"CA"}

@@ -95,3 +95,48 @@ def frame_sample_stub(df: DataFrame, every_n: int = 10) -> DataFrame:
         "video decode libs not present in this environment; "
         "plumbing contract: payload -> rows(media_id, frame_idx, frame_png binary)"
     )
+
+
+def resize_images(
+    df: DataFrame,
+    payload_col: str = "payload",
+    width: int = 224,
+    height: int = 224,
+) -> DataFrame:
+    """Image resize over Arrow batches (mapInPandas). The decode/re-encode
+    kernel is a STUB (no image libs in this container): it passes the
+    payload through and stamps the target dimensions, so the Spark-side
+    contract — binary in, binary out, metadata typed, payload never wider
+    than one Arrow batch — is real and tested; swap `_resize_kernel` for a
+    PIL/opencv call when the libs exist.
+    """
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+
+    def _resize_kernel(payload: bytes) -> bytes:
+        # STUB: deterministic passthrough. Real kernel:
+        # Image.open(BytesIO(payload)).resize((width, height)) -> bytes
+        return payload
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        _resize_kernel(p if p is not None else b"") for p in pdf[payload_col]
+                    ],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.mapInPandas(resize_batches, out_schema)

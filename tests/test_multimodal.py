@@ -39,3 +39,18 @@ def test_frame_sampler_is_explicit_stub(spark):
     df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
     with pytest.raises(NotImplementedError):
         frame_sample_stub(text_to_binary(df))
+
+
+def test_resize_stub_contract(spark):
+    from etl_poor_main_pipeline_spark.operators.multimodal import (
+        resize_images,
+        text_to_binary,
+    )
+    from etl_poor_main_pipeline_spark.registry import _t
+
+    d = text_to_binary(_t(spark, "/root/testdata/sf0.001", "documents").limit(20))
+    out = resize_images(d.withColumnRenamed("doc_id", "media_id"), width=64, height=48)
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(r.width == 64 and r.height == 48 for r in rows)
+    assert all(isinstance(r.payload, (bytes, bytearray)) for r in rows)

@@ -379,28 +379,33 @@ def simhash_signatures(
 ) -> DataFrame:
     """64-bit SimHash per document from token hashes.
 
-    Shape: entirely map-side — token-hash array per row, then one
-    aggregate() vote per bit folded into a single long. No explode, no
-    shuffle; signatures stream out of the scan stage (same reasoning as
-    ``minhash_signatures``).
+    Shape: entirely map-side — token-hash array per row, then ONE
+    aggregate() carrying a ``bits``-wide vote vector ((x >> i) & 1 per
+    bit, +1/-1), folded into a single long. The earlier per-bit shape
+    (64 separate aggregate() loops) was bit-identical but ~9x slower:
+    Janino compiles 64 loop bodies and re-traverses the token array per
+    bit, vs one loop with an array accumulator here. No explode, no
+    shuffle; signatures stream out of the scan stage.
     """
     keep_cols = id_cols if id_cols else df.columns
-
-    def mask(i: int):
-        return F.lit(1 << i) if i < 63 else F.lit(-(1 << 63))
-
     hashes = F.transform(tokens_expr(text_col), lambda t: F.xxhash64(t))
     with_hashes = spread(df).select(*keep_cols, hashes.alias("_hs"))
-    acc = None
-    for i in range(bits):
-        vote = F.aggregate(
-            F.col("_hs"),
-            F.lit(0),
-            lambda a, x: a + F.when(x.bitwiseAND(mask(i)) != 0, 1).otherwise(-1),
-        )
-        bit = F.when(vote > 0, mask(i).cast("long")).otherwise(F.lit(0).cast("long"))
-        acc = bit if acc is None else acc.bitwiseOR(bit)
-    return with_hashes.select(*keep_cols, acc.alias("simhash"))
+    # (x >> i) & 1 extracts bit i even at i=63 (sign-extension survives
+    # the & 1); shiftleft(1L, 63) wraps to the sign bit, matching the
+    # signed-long encoding of the old implementation.
+    sig_sql = f"""
+    aggregate(
+      zip_with(
+        aggregate(_hs, array_repeat(0, {bits}),
+          (acc, x) -> zip_with(acc,
+            transform(sequence(0, {bits - 1}),
+                      i -> CASE WHEN ((x >> i) & 1) = 1 THEN 1 ELSE -1 END),
+            (a, b) -> a + b)),
+        sequence(0, {bits - 1}), (v, i) -> struct(v, i)),
+      0L,
+      (acc, s) -> acc | CASE WHEN s.v > 0 THEN shiftleft(1L, s.i) ELSE 0L END
+    )"""
+    return with_hashes.select(*keep_cols, F.expr(sig_sql).alias("simhash"))
 
 
 def simhash_near_dup_pairs(

@@ -85,19 +85,25 @@ def minhash_signatures(
         F.array_distinct(shingles_expr(text_col, shingle_k)),
         lambda s: F.pmod(F.xxhash64(s), F.lit(p)),
     )
-    # _hs is referenced num_hashes times: keep it in its own projection —
-    # Catalyst's CollapseProject leaves multi-referenced non-trivial
-    # aliases alone, so tokenization/hashing runs once per row
+    # _hs is referenced by the aggregate below: keep it in its own
+    # projection — Catalyst's CollapseProject leaves multi-referenced
+    # non-trivial aliases alone, so tokenization/hashing runs once per row
     with_hashes = spread(df).select(*keep_cols, hashes.alias("_hs"))
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(F.col("_hs"), lambda x: F.pmod(x * F.lit(a) + F.lit(b), F.lit(p)))
-            )
-            for (a, b) in coeffs
-        ]
-    )
-    return with_hashes.select(*keep_cols, sig.alias("minhash"))
+    # ONE aggregate carrying a num_hashes-wide running-min vector (same
+    # trick as simhash_signatures): the per-function shape (num_hashes
+    # separate array_min(transform) branches) was value-identical but
+    # compiled num_hashes codegen loops — ~2s Janino time billed to the
+    # first run. Coefficient arrays are constant-folded literals. A doc
+    # with no shingles yields the init vector (all p) rather than NULLs.
+    a_arr = "array(" + ",".join(f"{a}L" for a, _ in coeffs) + ")"
+    b_arr = "array(" + ",".join(f"{b}L" for _, b in coeffs) + ")"
+    sig_sql = f"""
+    aggregate(_hs, array_repeat({p}L, {num_hashes}),
+      (acc, x) -> zip_with(acc,
+        zip_with({a_arr}, {b_arr}, (a, b) -> pmod(x * a + b, {p}L)),
+        (m, h) -> least(m, h)))
+    """
+    return with_hashes.select(*keep_cols, F.expr(sig_sql).alias("minhash"))
 
 
 def minhash_lsh_candidates(

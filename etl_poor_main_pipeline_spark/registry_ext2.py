@@ -253,8 +253,10 @@ FROM lineitem
 def q_dedup_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] X2 end-to-end near-dup collapse: exact-Jaccard pairs ->
     connected components (iterative min-id propagation) -> one canonical
-    doc per cluster. Iterative algorithm -> rows-only check; unit tests
-    pin the clustering against a driver-side union-find."""
+    doc per cluster. The pair source is the deterministic exact-Jaccard
+    join, so the whole pipeline has a full-parity DuckDB twin: a
+    recursive CTE propagates reachable labels and min() per node yields
+    the component (min doc id of the cluster), same as union-find."""
     from .operators.dedup import jaccard_token_sets, connected_components
 
     d = _t(spark, sf_dir, "documents")
@@ -267,6 +269,41 @@ def q_dedup_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Connected components as a recursive CTE: ``walk`` enumerates every
+# (node, label) pair where label is reachable from node (undirected
+# edges), so min(label) per node = the component's min doc id — exactly
+# the union-find / min-label-propagation result. Termination: UNION
+# dedups, and the pair space is finite (sum of cluster sizes squared).
+_ORACLE_DEDUP_COLLAPSE = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, lang, n_chars,
+         list_distinct(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS tok_set
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM toks a JOIN toks b
+    ON a.doc_id < b.doc_id AND a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 16
+  WHERE round(cast(len(list_intersect(a.tok_set, b.tok_set)) as double)
+              / cast(len(list_distinct(list_concat(a.tok_set, b.tok_set))) as double), 6) >= 0.8
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+walk(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, w.comp FROM walk w JOIN edges e ON e.dst = w.node
+),
+labels AS (SELECT node, min(comp) AS component FROM walk GROUP BY node)
+SELECT cast(component AS bigint) AS canonical_doc_id,
+       cast(count(*) AS bigint) AS cluster_size
+FROM labels GROUP BY component
+"""
+
+
 REGISTRY_EXT2: dict[str, QuerySpec] = {
     "text_sentiment_lexicon": QuerySpec(q_sentiment_lexicon, _ORACLE_SENTIMENT, "X6"),
     "text_bigrams_top": QuerySpec(q_bigrams, _ORACLE_BIGRAMS, "X6"),
@@ -276,5 +313,7 @@ REGISTRY_EXT2: dict[str, QuerySpec] = {
     "bitwise_ops": QuerySpec(q_bitwise_ops, _ORACLE_BITWISE, "§2.6 scalar"),
     "date_parts_iso": QuerySpec(q_date_parts, _ORACLE_DATE_PARTS, "§2.6 scalar"),
     "greatest_least": QuerySpec(q_greatest_least, _ORACLE_GREATEST, "§2.6 scalar"),
-    "dedup_collapse_components": QuerySpec(q_dedup_collapse, None, "X2 iterative"),
+    "dedup_collapse_components": QuerySpec(
+        q_dedup_collapse, _ORACLE_DEDUP_COLLAPSE, "X2 iterative"
+    ),
 }

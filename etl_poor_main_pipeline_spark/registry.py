@@ -1320,6 +1320,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext5 import REGISTRY_EXT5
     from .registry_ext6 import REGISTRY_EXT6
     from .registry_ext7 import REGISTRY_EXT7
+    from .registry_ext8 import REGISTRY_EXT8
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1329,6 +1330,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT5)
     merged.update(REGISTRY_EXT6)
     merged.update(REGISTRY_EXT7)
+    merged.update(REGISTRY_EXT8)
     return merged
 
 

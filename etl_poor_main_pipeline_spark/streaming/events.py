@@ -174,6 +174,63 @@ def stream_to_partitioned_parquet(
     q.awaitTermination(120)
 
 
+def read_event_stream_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the driver-corpus events parquet. ``ts`` is
+    parquet TIMESTAMP(NANOS), which the vectorized reader rejects as a
+    timestamp: with ``nanosAsLong`` the stream reads it as long ns and
+    converts via integer ``div`` (same path as ``sources.read.read_events``
+    — float division would lose µs precision at ~1.7e18)."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    # the file-stream source requires a directory basePath; a brace-glob
+    # ({events}.parquet) makes it treat the parent dir as the base while
+    # still matching only the one file — a bare file path is rejected
+    df = (
+        spark.readStream.schema(schema)
+        .parquet(f"{sf_dir.rstrip('/')}/{{events}}.parquet")
+    )
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def drain_to_table(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Run a stream to completion over its (finite) available input and
+    return the drained result as a batch DataFrame: memory sink +
+    ``trigger(availableNow)``. ``complete`` mode for aggregations (the
+    final emission is the full result), ``append`` for row streams.
+
+    This is what makes a streaming pipeline oracle-checkable: over a
+    finite input the drained table must equal the equivalent batch
+    query, so the same DuckDB twin applies."""
+    import uuid
+
+    name = "st_" + uuid.uuid4().hex[:12]
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        if q.isActive:
+            q.stop()
+    return stream_df.sparkSession.table(name)
+
+
 def run_to_memory(stream_df: DataFrame, query_name: str) -> "DataFrame":
     """Drain all available input into an in-memory table (test helper):
     trigger(availableNow) processes everything then stops."""

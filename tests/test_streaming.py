@@ -155,3 +155,27 @@ def test_foreachbatch_partition_overwrite_is_idempotent(spark, event_dir, tmp_pa
     run(str(tmp_path / "ckpt2"))
     n2 = spark.read.parquet(ref.path(lake)).count()
     assert n1 == n2 == 30
+
+
+def test_drained_stream_equals_batch(spark):
+    """Oracle-twin invariant: a finite stream drained with availableNow
+    equals the equivalent batch query (registry wave 9 contract)."""
+    from etl_poor_main_pipeline_spark.streaming.events import (
+        drain_to_table,
+        read_event_stream_parquet,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = read_event_stream_parquet(spark, sf)
+    drained = drain_to_table(
+        ev.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"]),
+        "append",
+    )
+    got = {(r.user_id, r.event_type) for r in drained.collect()}
+    from etl_poor_main_pipeline_spark.sources.read import read_events
+
+    want = {
+        (r.user_id, r.event_type)
+        for r in read_events(spark, sf).select("user_id", "event_type").distinct().collect()
+    }
+    assert got == want and len(got) > 0

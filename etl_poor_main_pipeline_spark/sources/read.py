@@ -166,6 +166,55 @@ def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.text(path)
 
 
+def _format_available(spark: SparkSession, fmt: str) -> bool:
+    """True when a pluggable DataSource format can be resolved by this
+    deployment (Avro and Delta ship as external modules — present on a
+    real cluster via --packages, absent in a bare pyspark install)."""
+    try:
+        jvm = spark._jvm  # noqa: SLF001 - capability probe, not a data path
+        jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            fmt, spark._jsparkSession.sessionState().conf()
+        )
+        return True
+    except Exception:
+        return False
+
+
+def read_avro(
+    spark: SparkSession,
+    path: str,
+    schema: dict[str, str] | T.StructType | None = None,
+) -> DataFrame:
+    """Avro scan (row-major, schema-evolving ingest format). Avro is a
+    built-in-but-external Spark module (spark-avro jar via --packages);
+    when the jar is absent this raises a clear capability error instead
+    of Spark's opaque ClassNotFound chain."""
+    if not _format_available(spark, "avro"):
+        raise NotImplementedError(
+            "Avro support needs the spark-avro module on the classpath "
+            "(spark-submit --packages org.apache.spark:spark-avro_2.13:<spark-version>); "
+            "not deployed in this environment"
+        )
+    reader = spark.read
+    if schema is not None:
+        st = schema if isinstance(schema, T.StructType) else schema_from_dict(schema)
+        reader = reader.schema(st)
+    return reader.format("avro").load(path)
+
+
+def read_delta(spark: SparkSession, path: str) -> DataFrame:
+    """Delta Lake table scan (ACID log-structured parquet). Requires the
+    delta-spark package + session extensions; raises a clear capability
+    error when absent (this environment has no delta jars)."""
+    if not _format_available(spark, "delta"):
+        raise NotImplementedError(
+            "Delta Lake support needs delta-spark on the classpath with "
+            "spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension; "
+            "not deployed in this environment"
+        )
+    return spark.read.format("delta").load(path)
+
+
 def from_pandas(spark: SparkSession, pdf, schema: dict[str, str] | None = None) -> DataFrame:
     """S6 pandas -> engine handoff (Arrow-accelerated createDataFrame)."""
     df = spark.createDataFrame(pdf)

@@ -69,3 +69,23 @@ def test_text_lines_source(spark, tmp_path):
     df = read_text_lines(spark, str(p))
     assert df.columns == ["value"]
     assert sorted(r.value for r in df.collect()) == ["alpha beta", "gamma"]
+
+
+def test_avro_delta_capability_gate(spark):
+    """Avro/Delta ship as external modules; absent jars must surface as a
+    clear NotImplementedError (capability gate), and present jars must
+    route to the real reader. This container has neither jar."""
+    import pytest
+
+    from etl_poor_main_pipeline_spark.sources.read import (
+        _format_available,
+        read_avro,
+        read_delta,
+    )
+
+    if _format_available(spark, "avro"):
+        pytest.skip("spark-avro deployed here; gate inapplicable")
+    with pytest.raises(NotImplementedError, match="spark-avro"):
+        read_avro(spark, "/tmp/nonexistent.avro")
+    with pytest.raises(NotImplementedError, match="delta-spark"):
+        read_delta(spark, "/tmp/nonexistent_delta")

@@ -87,13 +87,53 @@ def extract_media_features(df: DataFrame, payload_col: str = "payload") -> DataF
     return df.mapInPandas(decode_batches, out_schema)
 
 
-def frame_sample_stub(df: DataFrame, every_n: int = 10) -> DataFrame:
-    """STUB video frame sampler: real implementation would emit one row per
-    sampled frame via mapInPandas (flat-map shape). Raises until a decoder
-    is available; kept so the API surface and schema contract are pinned."""
-    raise NotImplementedError(
-        "video decode libs not present in this environment; "
-        "plumbing contract: payload -> rows(media_id, frame_idx, frame_png binary)"
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def _fake_split_frames(payload: bytes, frame_bytes: int) -> list[bytes]:
+    """STUB frame decoder: fixed-size byte chunks stand in for decoded
+    video frames (no demuxer in this container). Replace with a real
+    pyav/ffmpeg demux on a cluster image — the mapInPandas plumbing
+    (flat-map shape, Arrow batches, output schema) does not change."""
+    return [payload[i : i + frame_bytes] for i in range(0, len(payload), frame_bytes)]
+
+
+def sample_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    frame_bytes: int = 256,
+    every_n: int = 4,
+) -> DataFrame:
+    """Video frame sampling (X5): keep every ``every_n``-th frame per media
+    row — the flat-map multimodal shape (one input row -> many output
+    rows) via mapInPandas. ``frame_idx`` is the index in the *decoded*
+    frame sequence, so downstream code can recover timing. Payload columns
+    are projected away before any shuffle; only sampled frames move.
+    """
+    import pandas as pd
+
+    def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            idxs: list = []
+            frames: list = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                fr = _fake_split_frames(bytes(payload) if payload is not None else b"", frame_bytes)
+                for i in range(0, len(fr), every_n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(fr[i])
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.select(F.col(id_col).alias("media_id"), payload_col).mapInPandas(
+        sample_batches, FRAME_SCHEMA
     )
 
 

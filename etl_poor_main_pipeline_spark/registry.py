@@ -1321,6 +1321,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext6 import REGISTRY_EXT6
     from .registry_ext7 import REGISTRY_EXT7
     from .registry_ext8 import REGISTRY_EXT8
+    from .registry_ext9 import REGISTRY_EXT9
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1331,6 +1332,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT6)
     merged.update(REGISTRY_EXT7)
     merged.update(REGISTRY_EXT8)
+    merged.update(REGISTRY_EXT9)
     return merged
 
 

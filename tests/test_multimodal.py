@@ -2,7 +2,7 @@ import pytest
 
 from etl_poor_main_pipeline_spark.operators.multimodal import (
     extract_media_features,
-    frame_sample_stub,
+    sample_frames,
     text_to_binary,
 )
 
@@ -35,10 +35,19 @@ def test_extract_media_features_null_payload(spark):
     assert row.n_bytes == 0
 
 
-def test_frame_sampler_is_explicit_stub(spark):
-    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
-    with pytest.raises(NotImplementedError):
-        frame_sample_stub(text_to_binary(df))
+def test_frame_sampler_flatmap_contract(spark):
+    """One media row fans out to every_n-sampled frames; frame bytes are
+    the exact payload slices and frame_idx preserves decode order."""
+    text = "ab" * 300  # 600 bytes -> frames 0..2 at 256B, last short
+    df = spark.createDataFrame([(7, text)], ["doc_id", "text"])
+    rows = sorted(
+        sample_frames(text_to_binary(df), frame_bytes=256, every_n=2).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [(r.media_id, r.frame_idx) for r in rows] == [(7, 0), (7, 2)]
+    payload = text.encode()
+    assert bytes(rows[0].frame) == payload[0:256]
+    assert bytes(rows[1].frame) == payload[512:600]
 
 
 def test_resize_stub_contract(spark):

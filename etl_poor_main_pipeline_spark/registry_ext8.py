@@ -20,7 +20,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .registry import QuerySpec, _dsum, _dsum_sql
-from .streaming.events import drain_to_table, enrich_stream, read_event_stream_parquet
+from .streaming.events import (
+    drain_to_table,
+    enrich_stream,
+    read_event_stream_parquet,
+    sessionize_stream,
+)
 
 
 def q_streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -89,6 +94,36 @@ FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
 """
 
 
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator under the full gate: gap-based
+    sessionization via ``applyInPandasWithState``, drained in ``update``
+    mode. The single-file source drains in one micro-batch, so each user
+    emits exactly one (final) row and the result equals the batch
+    gap-island computation — the strongest check a stateful streaming
+    operator can get. Timestamps are µs both sides (stream reader divides
+    ns by 1000; oracle compares epoch_us), so gap comparisons agree."""
+    ev = read_event_stream_parquet(spark, sf_dir)
+    sess = sessionize_stream(ev, gap_minutes=30)
+    out = drain_to_table(sess, "update")
+    return out.select("user_id", "n_sessions", "n_events")
+
+
+_ORACLE_STREAM_SESSION = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+)
+SELECT user_id,
+       cast(sum(new_sess) AS bigint) AS n_sessions,
+       cast(count(*) AS bigint) AS n_events
+FROM flagged GROUP BY user_id
+"""
+
+
 REGISTRY_EXT8: dict[str, QuerySpec] = {
     "streaming_tumbling_counts": QuerySpec(
         q_streaming_tumbling_counts, _ORACLE_STREAM_TUMBLING, "W4 streaming"
@@ -98,5 +133,8 @@ REGISTRY_EXT8: dict[str, QuerySpec] = {
     ),
     "streaming_static_enrich": QuerySpec(
         q_streaming_static_enrich, _ORACLE_STREAM_ENRICH, "W4 streaming"
+    ),
+    "streaming_sessionize_totals": QuerySpec(
+        q_streaming_sessionize, _ORACLE_STREAM_SESSION, "W4 streaming stateful"
     ),
 }

@@ -1322,6 +1322,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext7 import REGISTRY_EXT7
     from .registry_ext8 import REGISTRY_EXT8
     from .registry_ext9 import REGISTRY_EXT9
+    from .registry_ext10 import REGISTRY_EXT10
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1333,6 +1334,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT7)
     merged.update(REGISTRY_EXT8)
     merged.update(REGISTRY_EXT9)
+    merged.update(REGISTRY_EXT10)
     return merged
 
 

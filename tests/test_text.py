@@ -78,3 +78,32 @@ def test_document_profile_schema(spark):
     row = document_profile(df).head()
     assert row.n_tokens_ws == 4 and row.lang_detected == "en"
     assert 0 <= row.quality <= 1 and len(row.fingerprint) == 32
+
+
+def test_curation_signals_plan_posture(spark):
+    """Wave-11 curation ops stay JVM-side (no Python UDF in the row path)
+    and the unigram-logprob frequency dim joins by broadcast."""
+    from etl_poor_main_pipeline_spark.plans.explain import (
+        assert_no_python_udf,
+        explain_str,
+    )
+    from etl_poor_main_pipeline_spark.registry_ext10 import (
+        q_text_gopher_rules,
+        q_text_repetition_ratio,
+        q_text_unigram_logprob,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    assert_no_python_udf(q_text_repetition_ratio(spark, sf))
+    assert_no_python_udf(q_text_gopher_rules(spark, sf))
+    plan = explain_str(q_text_unigram_logprob(spark, sf))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_gopher_rules_keep_is_conjunction(spark):
+    from etl_poor_main_pipeline_spark.registry_ext10 import q_text_gopher_rules
+
+    rows = q_text_gopher_rules(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r.keep == (r.ok_tokens and r.ok_word_len and r.ok_stopwords and r.ok_repetition)

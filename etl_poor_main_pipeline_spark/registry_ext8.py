@@ -38,7 +38,7 @@ def q_streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("n_events"), _dsum(F.col("value"), "sum_value"))
     )
-    out = drain_to_table(agg, "complete")
+    out = drain_to_table(agg, "complete", state_partitions=8)
     return out.select(
         F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type",
@@ -64,7 +64,7 @@ def q_streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is exactly the batch DISTINCT."""
     ev = read_event_stream_parquet(spark, sf_dir)
     ded = ev.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
-    return drain_to_table(ded, "append")
+    return drain_to_table(ded, "append", state_partitions=8)
 
 
 _ORACLE_STREAM_DEDUP = """
@@ -104,7 +104,7 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ns by 1000; oracle compares epoch_us), so gap comparisons agree."""
     ev = read_event_stream_parquet(spark, sf_dir)
     sess = sessionize_stream(ev, gap_minutes=30)
-    out = drain_to_table(sess, "update")
+    out = drain_to_table(sess, "update", state_partitions=8)
     return out.select("user_id", "n_sessions", "n_events")
 
 

@@ -204,31 +204,49 @@ def read_event_stream_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
-def drain_to_table(stream_df: DataFrame, output_mode: str) -> DataFrame:
+def drain_to_table(
+    stream_df: DataFrame, output_mode: str, state_partitions: int | None = None
+) -> DataFrame:
     """Run a stream to completion over its (finite) available input and
     return the drained result as a batch DataFrame: memory sink +
     ``trigger(availableNow)``. ``complete`` mode for aggregations (the
     final emission is the full result), ``append`` for row streams.
+
+    ``state_partitions`` pins the stateful-operator partition count for
+    THIS query (the state store inherits ``spark.sql.shuffle.partitions``
+    at stream start, and is fixed for the query's lifetime — AQE never
+    re-plans streaming state). Each state partition costs a store commit
+    per micro-batch plus, for pandas-stateful ops, a Python worker; size
+    it to key cardinality, not to the session default — 32 partitions for
+    a few hundred keys measured ~3x slower than 8 on pure overhead.
 
     This is what makes a streaming pipeline oracle-checkable: over a
     finite input the drained table must equal the equivalent batch
     query, so the same DuckDB twin applies."""
     import uuid
 
+    spark = stream_df.sparkSession
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     name = "st_" + uuid.uuid4().hex[:12]
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
     try:
-        q.awaitTermination(180)
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(180)
+        finally:
+            if q.isActive:
+                q.stop()
     finally:
-        if q.isActive:
-            q.stop()
-    return stream_df.sparkSession.table(name)
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.table(name)
 
 
 def run_to_memory(stream_df: DataFrame, query_name: str) -> "DataFrame":

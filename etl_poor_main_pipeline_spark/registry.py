@@ -1233,12 +1233,31 @@ FROM documents
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 mapInPandas feature extraction over binary payloads (stub decode
-    kernel, real Arrow-batched plumbing). Deterministic fake features ->
-    rows-only check."""
+    kernel, real Arrow-batched plumbing). The fake kernel is deterministic
+    (width/height derived from the first 16 payload bytes), so the DuckDB
+    twin reproduces it arithmetically over the ASCII corpus (byte value ==
+    ascii code) — full parity for the whole Arrow round trip."""
     d = _t(spark, sf_dir, "documents")
     from .operators.multimodal import extract_media_features, text_to_binary
 
     return extract_media_features(text_to_binary(d))
+
+
+_ORACLE_MEDIA_FEATURES = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         cast(octet_length(encode(text)) AS bigint) AS n_bytes,
+         coalesce(list_sum(list_transform(range(1, least(length(text), 16) + 1),
+                                          i -> ascii(substr(text, i::INT, 1)))), 0) AS h
+  FROM documents
+)
+SELECT media_id,
+       cast(64 + h % 64 AS int) AS width,
+       cast(64 + (h // 7) % 64 AS int) AS height,
+       'fake' AS fmt,
+       n_bytes
+FROM m
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1308,7 +1327,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "text_quality_score": QuerySpec(q_quality_score, _ORACLE_QUALITY, "X6"),
     "text_token_counts": QuerySpec(q_token_counts, _ORACLE_TOKEN_COUNTS, "X6"),
     "multimodal_binary_meta": QuerySpec(q_multimodal_binary, _ORACLE_MULTIMODAL, "X5"),
-    "multimodal_media_features": QuerySpec(q_media_features, None, "X5 stub-decode"),
+    "multimodal_media_features": QuerySpec(
+        q_media_features, _ORACLE_MEDIA_FEATURES, "X5 stub-decode"
+    ),
 }
 
 

@@ -28,24 +28,7 @@ import sys
 DEFAULT_CITIES = ["Toronto", "Vancouver", "New York", "Chicago", "London"]
 
 
-def _offline_fetch(city: str) -> str:
-    """Deterministic no-network payload (same nested shape as the live
-    API: main.temp / sys.country / weather[0] / wind.speed)."""
-    h = sum(ord(c) for c in city)
-    return json.dumps(
-        {
-            "name": city,
-            "sys": {"country": "CA" if city in ("Toronto", "Vancouver") else "US"},
-            "main": {
-                "temp": round((h % 350) / 10.0 - 5.0, 1),
-                "feels_like": round((h % 350) / 10.0 - 7.0, 1),
-                "humidity": h % 100,
-                "pressure": 980 + h % 60,
-            },
-            "weather": [{"description": "clear sky", "id": 800}],
-            "wind": {"speed": round((h % 80) / 10.0, 1)},
-        }
-    )
+from ..sources.api import offline_fetch as _offline_fetch  # shared canned payload
 
 
 def _resolve_fetch():

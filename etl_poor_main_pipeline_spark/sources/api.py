@@ -68,6 +68,28 @@ WEATHER_RESPONSE_SCHEMA = T.StructType(
 FetchFn = Callable[[str], str]
 
 
+def offline_fetch(city: str) -> str:
+    """Deterministic no-network payload (same nested shape as the live
+    API: main.temp / sys.country / weather[0] / wind.speed). The default
+    fetch everywhere a live service is not configured — tests, the
+    pipeline CLI, and the custom data source all share it."""
+    h = sum(ord(c) for c in city)
+    return json.dumps(
+        {
+            "name": city,
+            "sys": {"country": "CA" if city in ("Toronto", "Vancouver") else "US"},
+            "main": {
+                "temp": round((h % 350) / 10.0 - 5.0, 1),
+                "feels_like": round((h % 350) / 10.0 - 7.0, 1),
+                "humidity": h % 100,
+                "pressure": 980 + h % 60,
+            },
+            "weather": [{"description": "clear sky", "id": 800}],
+            "wind": {"speed": round((h % 80) / 10.0, 1)},
+        }
+    )
+
+
 def fetch_batch(keys: Iterable[str], fetch_fn: FetchFn) -> list[str]:
     """S4 driver-side fan-out: sequential fetch, failed keys dropped
     (reference drops failures silently, :73-78; we do the same)."""

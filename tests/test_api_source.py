@@ -81,3 +81,47 @@ def test_fetch_distributed_executor_side(spark):
     rows = out.collect()
     assert len(rows) == 20
     assert all(r.raw for r in rows)
+
+
+def test_custom_datasource_distributed_fetch(spark):
+    """The weather_api custom DataSource (Spark 4 Python data source API)
+    partitions the key list and fetches executor-side; the raw payloads
+    flatten with the same declarative path as every other ingest."""
+    from etl_poor_main_pipeline_spark.sources.api import flatten_weather_json
+    from etl_poor_main_pipeline_spark.sources.datasource import register_weather_source
+
+    register_weather_source(spark)
+    cities = [f"City{i}" for i in range(12)]
+    df = (
+        spark.read.format("weather_api")
+        .option("cities", ",".join(cities))
+        .option("citiesPerPartition", "4")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3  # 12 cities / 4 per partition
+    rows = df.collect()
+    assert {r.city for r in rows} == set(cities)
+    flat = flatten_weather_json(df)
+    got = {(r.city, r.country) for r in flat.collect()}
+    assert got == {(c, "US") for c in cities}  # offline payload semantics
+
+
+def test_custom_datasource_drops_failed_keys(spark):
+    from etl_poor_main_pipeline_spark.sources.datasource import register_weather_source
+
+    register_weather_source(spark)
+    df = (
+        spark.read.format("weather_api")
+        .option("cities", "Toronto,BOOM,Vancouver")
+        .option("fetch", "tests.test_api_source:_failing_fetch")
+        .load()
+    )
+    assert {r.city for r in df.collect()} == {"Toronto", "Vancouver"}
+
+
+def _failing_fetch(city: str) -> str:
+    from etl_poor_main_pipeline_spark.sources.api import offline_fetch
+
+    if city == "BOOM":
+        raise RuntimeError("fetch failed")
+    return offline_fetch(city)

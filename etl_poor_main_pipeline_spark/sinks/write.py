@@ -32,15 +32,36 @@ def write_partition_overwrite(
     lake_root: str,
     schema: dict[str, str] | None = None,
     single_file: bool = False,
-) -> bool:
+    quality_cols: list[str] | None = None,
+) -> bool | dict:
     """W1+W2+W5: schema-enforced dynamic partition overwrite.
 
     Returns False when the empty-input guard short-circuited, True when a
     write happened — mirrors the reference's skip-log behavior.
+
+    ``quality_cols`` turns on write-time data-quality metrics via
+    ``df.observe`` — row count plus a null count per listed column,
+    collected DURING the write (no second pass over the data, unlike a
+    post-write validation query; at 100 TB a revalidation scan is a real
+    cost). When set, returns the metrics dict instead of True.
     """
     if df.isEmpty():
         return False
     out = enforce_schema(df, schema) if schema else df
+    observation = None
+    if quality_cols:
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        observation = Observation()
+        out = out.observe(
+            observation,
+            F.count(F.lit(1)).alias("n_rows"),
+            *[
+                F.sum(F.col(c).isNull().cast("long")).alias(f"n_null_{c}")
+                for c in quality_cols
+            ],
+        )
     if single_file:
         # reference layout parity: exactly one file per partition. Fine for
         # small daily partitions; never use at scale.
@@ -52,6 +73,8 @@ def write_partition_overwrite(
         .partitionBy(ref.partition_col)
         .parquet(ref.path(lake_root))
     )
+    if observation is not None:
+        return observation.get
     return True
 
 

@@ -82,3 +82,21 @@ def test_register_table_idempotent(spark, lake):
     register_table(spark, T, lake)
     assert spark.sql(f"SELECT count(*) c FROM {T.qualified_name}").head().c == 3
     spark.sql(f"DROP TABLE IF EXISTS {T.qualified_name}")
+
+
+def test_write_observe_quality_metrics(spark, tmp_path):
+    """observe() metrics are collected during the write itself — row and
+    per-column null counts come back without a second scan."""
+    from pyspark.sql import functions as F
+
+    from etl_poor_main_pipeline_spark.sinks.write import write_partition_overwrite
+    from etl_poor_main_pipeline_spark.table import TableRef
+
+    ref = TableRef("analytics", "obs_metrics", partition_col="date_id")
+    df = spark.createDataFrame(
+        [(1, None, "2026-01-01"), (2, 5.0, "2026-01-01"), (3, None, "2026-01-02")],
+        ["id", "v", "date_id"],
+    )
+    metrics = write_partition_overwrite(df, ref, str(tmp_path), quality_cols=["v", "id"])
+    assert metrics == {"n_rows": 3, "n_null_v": 2, "n_null_id": 0}
+    assert spark.read.parquet(ref.path(str(tmp_path))).count() == 3

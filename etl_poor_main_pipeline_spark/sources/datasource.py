@@ -25,7 +25,15 @@ from __future__ import annotations
 import importlib
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    In,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from .api import offline_fetch
 
@@ -48,6 +56,21 @@ class WeatherApiReader(DataSourceReader):
         self.per_partition = int(options.get("citiesPerPartition", "10"))
         self.fetch_spec = options.get("fetch", "")
 
+    def pushFilters(self, filters: list[Filter]):
+        """Catalyst pushdown into the Python source: ``city = 'X'`` and
+        ``city IN (...)`` prune the fetch list itself, so filtered reads
+        never issue the pruned HTTP calls (the whole point of pushdown on
+        an API source — the saved work is network, not CPU). Unhandled
+        filters are yielded back for Spark to apply post-scan."""
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("city",):
+                self.cities = [c for c in self.cities if c == f.value]
+            elif isinstance(f, In) and f.attribute == ("city",):
+                wanted = set(f.value)
+                self.cities = [c for c in self.cities if c in wanted]
+            else:
+                yield f
+
     def partitions(self) -> list[InputPartition]:
         chunks = [
             _CityPartition(self.cities[i : i + self.per_partition])
@@ -66,6 +89,40 @@ class WeatherApiReader(DataSourceReader):
                 yield (city, raw)
 
 
+class WeatherApiStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch polling of the same API: each trigger fetches every
+    city once (the "poll a REST endpoint on an interval" ingestion
+    pattern). The offset is a poll counter; recovery re-fetches — for an
+    API snapshot source the service is the source of truth, and the
+    idempotent partition-overwrite sink absorbs replays (same stance as
+    the reference's delete-and-insert)."""
+
+    def __init__(self, options: dict):
+        self.cities = [c.strip() for c in options.get("cities", "").split(",") if c.strip()]
+        self.fetch_spec = options.get("fetch", "")
+
+    def initialOffset(self) -> dict:
+        return {"poll": 0}
+
+    def _fetch_all(self) -> list[tuple]:
+        fetch = _resolve_fetch(self.fetch_spec)
+        rows = []
+        for city in self.cities:
+            try:
+                raw = fetch(city)
+            except Exception:
+                continue
+            if raw:
+                rows.append((city, raw))
+        return rows
+
+    def read(self, start: dict):
+        return iter(self._fetch_all()), {"poll": start["poll"] + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._fetch_all())
+
+
 class WeatherApiDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -77,7 +134,14 @@ class WeatherApiDataSource(DataSource):
     def reader(self, schema) -> WeatherApiReader:
         return WeatherApiReader(self.options)
 
+    def simpleStreamReader(self, schema) -> WeatherApiStreamReader:
+        return WeatherApiStreamReader(self.options)
+
 
 def register_weather_source(spark) -> None:
-    """Idempotent registration of the ``weather_api`` format."""
+    """Idempotent registration of the ``weather_api`` format. Also turns
+    on Python-source filter pushdown (runtime conf, default off): with it
+    off, a source that implements pushFilters() fails analysis outright
+    rather than silently skipping pushdown."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(WeatherApiDataSource)

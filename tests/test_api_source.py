@@ -125,3 +125,56 @@ def _failing_fetch(city: str) -> str:
     if city == "BOOM":
         raise RuntimeError("fetch failed")
     return offline_fetch(city)
+
+
+def test_custom_datasource_filter_pushdown(spark):
+    """city = 'X' prunes the fetch list inside the source: only the
+    matching city's partition survives, so the pruned HTTP calls are
+    never issued (visible as a single input partition)."""
+    from pyspark.sql import functions as F
+
+    from etl_poor_main_pipeline_spark.sources.datasource import register_weather_source
+
+    register_weather_source(spark)
+    df = (
+        spark.read.format("weather_api")
+        .option("cities", "Alpha,Beta,Gamma")
+        .option("citiesPerPartition", "1")
+        .load()
+        .filter(F.col("city") == "Beta")
+    )
+    assert df.rdd.getNumPartitions() == 1  # 3 without pushdown
+    assert [r.city for r in df.collect()] == ["Beta"]
+
+
+def test_custom_datasource_streaming_polls(spark):
+    """The streaming side polls every city per micro-batch; two batches
+    yield two full snapshots."""
+    import time
+
+    from etl_poor_main_pipeline_spark.sources.datasource import register_weather_source
+
+    register_weather_source(spark)
+    cities = ["Alpha", "Beta", "Gamma"]
+    stream = (
+        spark.readStream.format("weather_api")
+        .option("cities", ",".join(cities))
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("weather_poll")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table("weather_poll").count() >= 2 * len(cities):
+                break
+            time.sleep(0.5)
+        rows = spark.table("weather_poll").collect()
+    finally:
+        q.stop()
+    assert len(rows) >= 2 * len(cities)
+    assert {r.city for r in rows} == set(cities)

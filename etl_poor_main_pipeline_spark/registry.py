@@ -1344,6 +1344,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext8 import REGISTRY_EXT8
     from .registry_ext9 import REGISTRY_EXT9
     from .registry_ext10 import REGISTRY_EXT10
+    from .registry_ext11 import REGISTRY_EXT11
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1356,6 +1357,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT8)
     merged.update(REGISTRY_EXT9)
     merged.update(REGISTRY_EXT10)
+    merged.update(REGISTRY_EXT11)
     return merged
 
 

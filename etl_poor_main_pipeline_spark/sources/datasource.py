@@ -28,11 +28,13 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     In,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 from .api import offline_fetch
@@ -136,6 +138,97 @@ class WeatherApiDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> WeatherApiStreamReader:
         return WeatherApiStreamReader(self.options)
+
+
+class _PartCommit(WriterCommitMessage):
+    def __init__(self, filename: str, n_rows: int):
+        self.filename = filename
+        self.n_rows = n_rows
+
+
+class ManifestJsonWriter(DataSourceWriter):
+    """Executor-side task writer with a driver-side atomic publish: each
+    task writes its partition to ``part-<uuid>.json`` and returns a
+    commit message; ``commit()`` (driver, runs once, only after every
+    task succeeded) publishes ``_MANIFEST.json`` listing the committed
+    files. Readers resolve the manifest, never the directory — so a
+    half-finished or aborted write is invisible (its orphan part files
+    are listed in no manifest), the Python-source version of the W1
+    idempotent-publish stance — the same files-plus-manifest commit
+    shape Iceberg/Delta use. Paths here are local-FS (the test/laptop
+    deployment); on a cluster the part writes target shared storage
+    (object store multipart upload) and only the manifest publish
+    changes visibility, exactly as below. ``abort()`` best-effort
+    deletes the orphans."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("manifest_json requires .option('path', ...) or save(path)")
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _PartCommit:
+        import json as _json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        filename = f"part-{uuid.uuid4().hex}.json"
+        n = 0
+        with open(os.path.join(self.path, filename), "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _PartCommit(filename, n)
+
+    def commit(self, messages) -> None:
+        import json as _json
+        import os
+
+        manifest = {
+            "files": sorted(m.filename for m in messages),
+            "n_rows": sum(m.n_rows for m in messages),
+        }
+        tmp = os.path.join(self.path, "_MANIFEST.json.tmp")
+        with open(tmp, "w") as f:
+            _json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self.path, "_MANIFEST.json"))
+
+    def abort(self, messages) -> None:
+        import contextlib
+        import os
+
+        for m in messages:
+            if m is None:
+                continue
+            with contextlib.suppress(OSError):
+                os.remove(os.path.join(self.path, m.filename))
+
+
+class ManifestJsonDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "manifest_json"
+
+    def writer(self, schema, overwrite: bool) -> ManifestJsonWriter:
+        return ManifestJsonWriter(self.options, overwrite)
+
+
+def read_manifest_json(spark, path: str):
+    """Read back a manifest_json dataset: only files the manifest lists —
+    uncommitted part files are invisible by construction."""
+    import json as _json
+    import os
+
+    with open(os.path.join(path, "_MANIFEST.json")) as f:
+        manifest = _json.load(f)
+    files = [os.path.join(path, fn) for fn in manifest["files"]]
+    return spark.read.json(files)
+
+
+def register_manifest_sink(spark) -> None:
+    """Idempotent registration of the ``manifest_json`` sink format."""
+    spark.dataSource.register(ManifestJsonDataSource)
 
 
 def register_weather_source(spark) -> None:

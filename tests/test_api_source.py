@@ -178,3 +178,31 @@ def test_custom_datasource_streaming_polls(spark):
         q.stop()
     assert len(rows) >= 2 * len(cities)
     assert {r.city for r in rows} == set(cities)
+
+
+def test_manifest_json_sink_commit_protocol(spark, tmp_path):
+    """Custom Python sink: tasks write part files, the driver commit
+    publishes a manifest, and readers resolve the manifest only — so
+    part files without a manifest entry are invisible."""
+    import json
+    import os
+
+    from etl_poor_main_pipeline_spark.sources.datasource import (
+        read_manifest_json,
+        register_manifest_sink,
+    )
+
+    register_manifest_sink(spark)
+    out = str(tmp_path / "manifest_out")
+    df = spark.range(100).selectExpr("id", "id * 2 AS doubled").repartition(4)
+    df.write.format("manifest_json").mode("append").option("path", out).save()
+
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["n_rows"] == 100
+    assert len(manifest["files"]) == 4
+    # an orphan part file (simulated failed/aborted task) stays invisible
+    with open(os.path.join(out, "part-orphan.json"), "w") as f:
+        f.write('{"id": 999, "doubled": 1998}\n')
+    back = read_manifest_json(spark, out)
+    assert back.count() == 100
+    assert back.agg({"doubled": "sum"}).head()[0] == sum(2 * i for i in range(100))

@@ -36,6 +36,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for every oracle-expressible query; approximate ops
-    (MinHash-LSH, SimHash, IVF, stub media decode) are rows-only."""
+    """DuckDB twins for every oracle-expressible query (140 of 147,
+    including the drained streaming pipelines and the deterministic
+    stub-kernel multimodal ops); the 7 rows-only entries are the
+    inherently engine-specific approximations: HLL/percentile sketches,
+    approx_count_distinct, MinHash-LSH, SimHash, IVF, SRP-LSH."""
     return _registry.oracle_sql()

@@ -199,22 +199,32 @@ def minhash_verify_candidates(
         F.transform(F.array_distinct(tokens_expr(text_col)), lambda t: F.xxhash64(t)).alias(
             "_vtok"
         ),
+    ).withColumn("_vn", F.size("_vtok"))
+    ta = toks.select(
+        F.col("_vid").alias("id_a"), F.col("_vtok").alias("_tok_a"), F.col("_vn").alias("_na")
     )
-    ta = toks.select(F.col("_vid").alias("id_a"), F.col("_vtok").alias("_tok_a"))
-    tb = toks.select(F.col("_vid").alias("id_b"), F.col("_vtok").alias("_tok_b"))
+    tb = toks.select(
+        F.col("_vid").alias("id_b"), F.col("_vtok").alias("_tok_b"), F.col("_vn").alias("_nb")
+    )
+    t = F.lit(threshold)
     inter = F.size(F.array_intersect(F.col("_tok_a"), F.col("_tok_b")))
-    union = F.size(F.col("_tok_a")) + F.size(F.col("_tok_b")) - inter
+    union = F.col("_na") + F.col("_nb") - inter
     jac = F.round(inter.cast("double") / union.cast("double"), 6)
     # token sets are per-document (tiny next to the candidate pair list):
     # broadcast them so verification is a map-side join over candidates.
+    # The size-ratio filter (J >= t implies min/max set size >= t) runs
+    # BEFORE the intersect — neutral on this size-uniform template corpus
+    # (measured 4.22s vs 4.34s at sf0.1) but prunes real work on corpora
+    # whose LSH candidates cross length strata, which is the 100 TB case.
     # dropDuplicates handles a non-distinct candidate stream (see
     # minhash_lsh_candidates(distinct=False)) after the >= threshold
     # filter has shrunk it.
     return (
         spread(candidates).join(F.broadcast(ta), "id_a")
         .join(F.broadcast(tb), "id_b")
+        .filter(F.least("_na", "_nb") >= t * F.greatest("_na", "_nb"))
         .select("id_a", "id_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= F.lit(threshold))
+        .filter(F.col("jaccard") >= t)
         .dropDuplicates(["id_a", "id_b"])
     )
 

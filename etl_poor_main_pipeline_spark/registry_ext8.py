@@ -57,6 +57,34 @@ GROUP BY 1, 2
 """
 
 
+def q_streaming_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming hopping-window aggregate (1h windows sliding every 30m)
+    drained in ``complete`` mode: each event lands in two overlapping
+    windows — the streaming twin of the batch ``hopping_window_agg``."""
+    ev = read_event_stream_parquet(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = drain_to_table(agg, "complete", state_partitions=8)
+    return out.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n_events",
+    )
+
+
+_ORACLE_STREAM_HOPPING = """
+WITH starts AS (
+  SELECT ts, time_bucket(INTERVAL '30 minutes', ts) - off AS ws
+  FROM events, (VALUES (INTERVAL '0 minutes'), (INTERVAL '30 minutes')) t(off)
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, count(*) AS n_events
+FROM starts
+WHERE ts >= ws AND ts < ws + INTERVAL '1 hour'
+GROUP BY ws
+"""
+
+
 def q_streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup drained in ``append`` mode. Projecting only
     the dedup keys makes the result order-independent (whichever row wins
@@ -127,6 +155,9 @@ FROM flagged GROUP BY user_id
 REGISTRY_EXT8: dict[str, QuerySpec] = {
     "streaming_tumbling_counts": QuerySpec(
         q_streaming_tumbling_counts, _ORACLE_STREAM_TUMBLING, "W4 streaming"
+    ),
+    "streaming_hopping_counts": QuerySpec(
+        q_streaming_hopping_counts, _ORACLE_STREAM_HOPPING, "W4 streaming"
     ),
     "streaming_dedup_keys": QuerySpec(
         q_streaming_dedup_keys, _ORACLE_STREAM_DEDUP, "W4 streaming/X1"

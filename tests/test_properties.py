@@ -43,3 +43,53 @@ def test_truncate_idempotent_and_bounded(spark, s):
     )
     assert once == again
     assert once is None or len(once) <= 10
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_int8_quantization_bounds_and_sign(spark, vec):
+    """Quantized values always fit int8 range and preserve sign; the max
+    magnitude element maps to ±127 (symmetric scheme)."""
+    df = spark.createDataFrame([(1, vec)], "vec_id: long, embedding: array<float>")
+    s = "array_max(transform(embedding, x -> abs(cast(x as double)))) / 127.0D"
+    s0 = f"CASE WHEN ({s}) = 0.0D THEN 1.0D ELSE ({s}) END"
+    q = df.selectExpr(
+        f"transform(embedding, x -> cast(floor(cast(x as double) / ({s0}) + 0.5D) as int)) AS q",
+        "transform(embedding, x -> cast(x as double)) AS v",
+    ).head()
+    assert all(-127 <= x <= 127 for x in q.q)
+    for orig, quant in zip(q.v, q.q):
+        if quant != 0:
+            assert (orig > 0) == (quant > 0)
+    if any(x != 0 for x in q.v):
+        assert max(abs(x) for x in q.q) == 127
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=5000), min_size=1, max_size=40))
+def test_greedy_packing_conserves_tokens(spark, counts):
+    """Bin assignment partitions the docs: per-bin doc/token sums add up
+    to the corpus totals, and bins are contiguous in doc order."""
+    from pyspark.sql.window import Window
+
+    rows = [(i, n) for i, n in enumerate(counts)]
+    df = spark.createDataFrame(rows, "doc_id: long, n_tok: long")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    binned = df.withColumn(
+        "bin", F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(4096))
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("sum_tokens")
+    )
+    got = agg.agg(F.sum("n_docs"), F.sum("sum_tokens")).head()
+    assert got[0] == len(counts)
+    assert got[1] == sum(counts)
+    # bins are monotone in doc order (greedy order-preserving packing)
+    bins = [r.bin for r in binned.orderBy("doc_id").collect()]
+    assert bins == sorted(bins)

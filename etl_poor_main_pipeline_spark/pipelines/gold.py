@@ -37,5 +37,17 @@ def run(
     combined = union_all(ca, us).withColumn("region", F.lit("North America"))
     if combined.isEmpty():  # W2 guard (ref dashboard__north_america_weather.py:75-77)
         return 0
+    if not jdbc_url and connect is None:
+        # offline serving path: no JDBC target configured -> publish the
+        # gold table to the lake instead (same idempotent partition
+        # overwrite as every lake write). Keeps the full medallion CLI
+        # runnable without a database; point --jdbc-url at a real serving
+        # store to get the reference's W3 delete+append protocol.
+        from ..sinks.write import write_partition_overwrite
+
+        ref = TableRef("dashboard", "north_america_weather", partition_col="date_id")
+        out = combined.withColumn("date_id", F.lit(date_id))
+        metrics = write_partition_overwrite(out, ref, lake_root, quality_cols=["temperature"])
+        return int(metrics["n_rows"]) if isinstance(metrics, dict) else 0
     target = JdbcTarget(url=jdbc_url, table=table)
     return load_serving_table(combined, target, date_id, connect=connect)

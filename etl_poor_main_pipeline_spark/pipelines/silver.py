@@ -55,7 +55,15 @@ def run(
     )
     if out.isEmpty():  # W2 guard (ref analytics__us_weather.py:60-62)
         return 0
-    write_partition_overwrite(
-        out, silver_table(country), lake_root, schema=SILVER_WEATHER_SCHEMA, single_file=single_file
+    # observe() collects the row count (the reference's post-write log,
+    # analytics__us_weather.py:92-96) plus data-quality null counters
+    # during the write itself — no second pass over bronze.
+    metrics = write_partition_overwrite(
+        out,
+        silver_table(country),
+        lake_root,
+        schema=SILVER_WEATHER_SCHEMA,
+        single_file=single_file,
+        quality_cols=["temperature", "city"],
     )
-    return out.count()
+    return int(metrics["n_rows"])

@@ -170,6 +170,136 @@ def ivf_build(
     return assigned, centroids
 
 
+def pq_codebook(
+    df: DataFrame,
+    num_subspaces: int = 8,
+    num_codewords: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic product-quantization codebook: ``codebook[m][k]`` is
+    the m-th subvector of the vector with the k-th smallest id — the same
+    deterministic seeding stance as ``ivf_build`` (at real scale you train
+    per-subspace k-means offline; the codebook is driver/broadcast state
+    either way, a few KB). float32 values widen to Python double exactly,
+    so literals embedded from this codebook equal the oracle's
+    ``cast(float AS double)`` bit-for-bit."""
+    rows = (
+        df.orderBy(F.col(id_col).asc())
+        .limit(num_codewords)
+        .select(vec_col)
+        .collect()
+    )
+    dim = len(rows[0][0])
+    dsub = dim // num_subspaces
+    return [
+        [[float(rows[k][0][m * dsub + j]) for j in range(dsub)] for k in range(num_codewords)]
+        for m in range(num_subspaces)
+    ]
+
+
+def _pq_microdist(vec_expr: str, k_expr: str, dsub: int) -> str:
+    """Integer micro-distance (1e6-scaled squared L2, floor(x+0.5)) between
+    ``vec_expr``'s m-th subvector and codeword ``k_expr`` of subspace m
+    (``m`` is the enclosing lambda variable; ``_cb`` the codebook column).
+    The squared diff is an explicit self-multiply, not pow(x,2) — pow may
+    not be an exact product in every engine, (a-b)*(a-b) is. Scaling to an
+    integer before any cross-engine compare/sum removes FP-order ambiguity:
+    ADC sums are then exact bigint arithmetic."""
+    d = (
+        f"(cast(element_at({vec_expr}, m*{dsub}+j) as double)"
+        f" - element_at(element_at(element_at(_cb, m+1), ({k_expr})+1), j))"
+    )
+    return (
+        f"cast(floor(1000000.0D * aggregate(sequence(1,{dsub}), cast(0 as double),"
+        f" (s,j) -> s + {d}*{d}) + 0.5D) as bigint)"
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ encode: each vector becomes M argmin codeword ids (array<int>).
+    Ties break to the lowest codeword id (strict ``<`` keeps the first
+    minimum) so both engines pick the same code deterministically.
+
+    Scale shape: the codebook constant-folds into the projection, so this
+    is a pure scan-through map — no shuffle, no UDF. At 64-dim float32 →
+    8 codes this is a 32x storage compression; at billions of vectors the
+    encoded table is what ships to the ANN serving tier. The whole argmin
+    is ONE aggregate() per subspace (single codegen loop, see the
+    minhash_signatures folding note in the verify skill)."""
+    m_count = len(codebook)
+    k_count = len(codebook[0])
+    dsub = len(codebook[0][0])
+    cb_sql = (
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                "array(" + ",".join(f"{x!r}D" for x in cw) + ")" for cw in sub
+            )
+            + ")"
+            for sub in codebook
+        )
+        + ")"
+    )
+    d = _pq_microdist(vec_col, "k", dsub)
+    codes = (
+        f"transform(sequence(0,{m_count - 1}), m -> "
+        f"aggregate(sequence(0,{k_count - 1}),"
+        f" named_struct('bd', cast(9223372036854775807 as bigint), 'bk', -1),"
+        f" (acc, k) -> CASE WHEN {d} < acc.bd THEN named_struct('bd', {d}, 'bk', k)"
+        f" ELSE acc END,"
+        f" acc -> acc.bk))"
+    )
+    return df.withColumn("_cb", F.expr(cb_sql)).select(
+        F.col(id_col), F.col(vec_col), F.expr(codes).alias("pq_codes"), F.col("_cb")
+    )
+
+
+def pq_topk_adc(
+    df: DataFrame,
+    codebook: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ top-k with asymmetric distance computation (ADC): rank by the
+    sum over subspaces of the *query*-to-codeword micro-distance of each
+    vector's assigned codeword. Distances are integer micro-units, so the
+    ADC sum is exact bigint arithmetic — no FP-order sensitivity in the
+    ranking, and ties break on id.
+
+    Scale shape: encode is a map, ADC is a map (in a real deployment the
+    M*K query-distance table is precomputed once per query; here the
+    expression recomputes it per row — same plan shape, and Catalyst
+    constant-folds the codebook), ranking is TakeOrderedAndProject
+    (per-partition top-k + driver merge of k*partitions rows, no shuffle
+    of the vector column). Nothing here changes between 500 vectors and
+    5 billion except partition count."""
+    m_count = len(codebook)
+    dsub = len(codebook[0][0])
+    q_sql = "array(" + ",".join(f"{float(x)!r}D" for x in query_vec) + ")"
+    dq = _pq_microdist("_q", "element_at(pq_codes, m+1)", dsub)
+    adc = f"aggregate(sequence(0,{m_count - 1}), cast(0 as bigint), (s, m) -> s + {dq})"
+    return (
+        pq_encode(df, codebook, id_col=id_col, vec_col=vec_col)
+        .withColumn("_q", F.expr(q_sql))
+        .select(
+            F.col(id_col),
+            F.concat_ws(",", F.col("pq_codes")).alias("codes_csv"),
+            F.expr(adc).alias("adc_microdist"),
+        )
+        .orderBy(F.col("adc_microdist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def ivf_search(
     assigned: DataFrame,
     centroids: DataFrame,

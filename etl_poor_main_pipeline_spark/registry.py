@@ -1345,6 +1345,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext9 import REGISTRY_EXT9
     from .registry_ext10 import REGISTRY_EXT10
     from .registry_ext11 import REGISTRY_EXT11
+    from .registry_ext12 import REGISTRY_EXT12
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1358,6 +1359,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT9)
     merged.update(REGISTRY_EXT10)
     merged.update(REGISTRY_EXT11)
+    merged.update(REGISTRY_EXT12)
     return merged
 
 

@@ -28,6 +28,7 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -205,6 +206,64 @@ class ManifestJsonWriter(DataSourceWriter):
                 os.remove(os.path.join(self.path, m.filename))
 
 
+class ManifestJsonStreamWriter(DataSourceStreamWriter):
+    """Streaming twin of ``ManifestJsonWriter``: each micro-batch's tasks
+    write ``part-<uuid>.json`` files executor-side; ``commit(messages,
+    batchId)`` (driver, after all tasks of the batch succeed) atomically
+    publishes ``_MANIFEST-<batchId>.json``. Visibility is manifest-only,
+    so a crash mid-batch leaves unlisted orphans, and a *replayed* batch
+    (restart between sink write and checkpoint commit) ``os.replace``s its
+    own manifest — the replay's files win, the failed attempt's orphans
+    stay unlisted. That manifest-swap is the whole exactly-once story:
+    at-least-once micro-batch delivery + idempotent per-batch publish,
+    the same stance as the reference's delete-and-insert (W1,
+    utils/duckdb_utils.py:61-190) and the batch manifest sink. On a
+    cluster only the part-file target (object store) changes."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("manifest_json requires .option('path', ...)")
+
+    def write(self, iterator) -> _PartCommit:
+        import json as _json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        filename = f"part-{uuid.uuid4().hex}.json"
+        n = 0
+        with open(os.path.join(self.path, filename), "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _PartCommit(filename, n)
+
+    def commit(self, messages, batchId: int) -> None:
+        import json as _json
+        import os
+
+        manifest = {
+            "batch_id": batchId,
+            "files": sorted(m.filename for m in messages),
+            "n_rows": sum(m.n_rows for m in messages),
+        }
+        tmp = os.path.join(self.path, f"_MANIFEST-{batchId}.json.tmp")
+        with open(tmp, "w") as f:
+            _json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self.path, f"_MANIFEST-{batchId}.json"))
+
+    def abort(self, messages, batchId: int) -> None:
+        import contextlib
+        import os
+
+        for m in messages:
+            if m is None:
+                continue
+            with contextlib.suppress(OSError):
+                os.remove(os.path.join(self.path, m.filename))
+
+
 class ManifestJsonDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -212,6 +271,9 @@ class ManifestJsonDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> ManifestJsonWriter:
         return ManifestJsonWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> ManifestJsonStreamWriter:
+        return ManifestJsonStreamWriter(self.options)
 
 
 def read_manifest_json(spark, path: str):
@@ -223,6 +285,21 @@ def read_manifest_json(spark, path: str):
     with open(os.path.join(path, "_MANIFEST.json")) as f:
         manifest = _json.load(f)
     files = [os.path.join(path, fn) for fn in manifest["files"]]
+    return spark.read.json(files)
+
+
+def read_manifest_stream_output(spark, path: str):
+    """Read back a streamed manifest_json dataset: the union of every
+    committed batch manifest's files. Orphan part files (aborted or
+    superseded-by-replay batches) appear in no manifest and are invisible."""
+    import glob
+    import json as _json
+    import os
+
+    files: list[str] = []
+    for mf in sorted(glob.glob(os.path.join(path, "_MANIFEST-*.json"))):
+        with open(mf) as f:
+            files.extend(os.path.join(path, fn) for fn in _json.load(f)["files"])
     return spark.read.json(files)
 
 

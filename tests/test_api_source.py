@@ -206,3 +206,47 @@ def test_manifest_json_sink_commit_protocol(spark, tmp_path):
     back = read_manifest_json(spark, out)
     assert back.count() == 100
     assert back.agg({"doubled": "sum"}).head()[0] == sum(2 * i for i in range(100))
+
+
+def test_manifest_json_stream_writer(spark, tmp_path):
+    """Streaming twin of the manifest sink: a rate-source stream writes
+    micro-batches through DataSourceStreamWriter; every drained batch has
+    its own atomic manifest, orphans stay invisible, and the read-back
+    equals exactly the committed rows."""
+    import glob
+    import json
+    import os
+
+    from etl_poor_main_pipeline_spark.sources.datasource import (
+        read_manifest_stream_output,
+        register_manifest_sink,
+    )
+
+    register_manifest_sink(spark)
+    out = str(tmp_path / "stream_out")
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.json"), "w") as f:
+        for i in range(50):
+            f.write(json.dumps({"id": i}) + "\n")
+    stream = spark.readStream.schema("id long").json(src)
+    q = (
+        stream.writeStream.format("manifest_json")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    manifests = sorted(glob.glob(os.path.join(out, "_MANIFEST-*.json")))
+    assert manifests, "stream commit published no batch manifest"
+    listed = json.load(open(manifests[0]))
+    assert listed["n_rows"] == 50
+    # orphan part file (aborted attempt) is listed in no manifest -> invisible
+    with open(os.path.join(out, "part-orphan.json"), "w") as f:
+        f.write('{"id": 999}\n')
+    back = read_manifest_stream_output(spark, out)
+    assert back.count() == 50
+    assert back.agg({"id": "max"}).head()[0] == 49

@@ -300,6 +300,44 @@ def pq_topk_adc(
     )
 
 
+def pq_refine_topk(
+    df: DataFrame,
+    codebook: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage retrieval: PQ ADC shortlist, exact re-rank. Stage 1 ranks
+    every vector by the compressed-domain ADC distance and keeps a
+    ``shortlist`` of candidates; stage 2 computes the exact cosine only
+    for those and returns the top ``k`` — the standard recall-recovery
+    pattern (coarse quantized scan over everything, exact math over
+    almost nothing). Both stages are deterministic (integer ADC with id
+    tiebreaks, rounded cosine with id tiebreaks), so the whole pipeline
+    is oracle-checkable end to end.
+
+    Scale shape: stage 1 is the PQ scan-through + TakeOrderedAndProject
+    (at billions of vectors it reads the 8-byte codes table, not the
+    256-byte vectors); stage 2 joins the shortlist ids back to the full
+    vectors — a broadcast of ``shortlist`` ids, so the exact pass touches
+    only those rows. No stage shuffles the vector column."""
+    short = pq_topk_adc(
+        df, codebook, query_vec, k=shortlist, id_col=id_col, vec_col=vec_col
+    ).select(id_col)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        df.join(F.broadcast(short), id_col)
+        .select(
+            F.col(id_col),
+            F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def ivf_search(
     assigned: DataFrame,
     centroids: DataFrame,

@@ -20,7 +20,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators.similarity import pq_codebook, pq_topk_adc
+from .operators.similarity import pq_codebook, pq_refine_topk, pq_topk_adc
 from .registry import QuerySpec, _dsum, _dsum_sql, _t
 from .sources.datasource import read_manifest_stream_output, register_manifest_sink
 from .streaming.events import read_event_stream_parquet
@@ -82,6 +82,61 @@ LIMIT 10
 """
 
 
+def q_similarity_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] X3 two-stage retrieval: PQ ADC shortlist (top-50 by the
+    compressed-domain integer distance) then exact cosine re-rank to
+    top-10 — the standard coarse-scan/exact-refine recall-recovery
+    pattern, deterministic in both stages so the full pipeline gets a
+    DuckDB oracle. Same codebook/query setup as similarity_pq_adc."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_codebook(emb, num_subspaces=8, num_codewords=16)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 7).select("embedding").collect()[0][0]]
+    return pq_refine_topk(emb, cb, qv, k=10, shortlist=50)
+
+
+_ORACLE_PQ_REFINE = r"""
+WITH cb AS (
+  SELECT cast(vec_id AS int) AS k, embedding AS cbe FROM embeddings WHERE vec_id < 16
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 7),
+grid AS (SELECT t1.m, t2.k FROM range(0,8) t1(m) CROSS JOIN range(0,16) t2(k)),
+dcode AS (
+  SELECT e.vec_id, g.m, cb.k,
+         cast(floor(1000000.0 * list_sum(list_transform(range(1,9), j ->
+           (cast(e.embedding[cast(g.m*8 AS int)+j] AS double) - cast(cb.cbe[cast(g.m*8 AS int)+j] AS double))
+         * (cast(e.embedding[cast(g.m*8 AS int)+j] AS double) - cast(cb.cbe[cast(g.m*8 AS int)+j] AS double))
+         )) + 0.5) AS bigint) AS d
+  FROM embeddings e CROSS JOIN grid g JOIN cb ON cb.k = g.k
+),
+codes AS (
+  SELECT vec_id, m, k FROM (
+    SELECT vec_id, m, k, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
+    FROM dcode
+  ) WHERE rn = 1
+),
+dq AS (
+  SELECT g.m, cb.k,
+         cast(floor(1000000.0 * list_sum(list_transform(range(1,9), j ->
+           (cast(q.qe[cast(g.m*8 AS int)+j] AS double) - cast(cb.cbe[cast(g.m*8 AS int)+j] AS double))
+         * (cast(q.qe[cast(g.m*8 AS int)+j] AS double) - cast(cb.cbe[cast(g.m*8 AS int)+j] AS double))
+         )) + 0.5) AS bigint) AS d
+  FROM q CROSS JOIN grid g JOIN cb ON cb.k = g.k
+),
+shortlist AS (
+  SELECT c.vec_id
+  FROM codes c JOIN dq ON dq.m = c.m AND dq.k = c.k
+  GROUP BY c.vec_id
+  ORDER BY sum(dq.d), c.vec_id
+  LIMIT 50
+)
+SELECT e.vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], (SELECT qe::DOUBLE[] FROM q)), 6) AS cosine
+FROM embeddings e JOIN shortlist s ON e.vec_id = s.vec_id
+ORDER BY cosine DESC, e.vec_id ASC
+LIMIT 10
+"""
+
+
 def q_stream_sink_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming write through the custom Python sink, verified by what a
     *reader of the sink* sees: events stream -> row-level projection ->
@@ -128,6 +183,7 @@ GROUP BY event_type
 
 REGISTRY_EXT12: dict[str, QuerySpec] = {
     "similarity_pq_adc": QuerySpec(q_similarity_pq_adc, _ORACLE_PQ_ADC, "X3 [EXT]"),
+    "similarity_pq_refine": QuerySpec(q_similarity_pq_refine, _ORACLE_PQ_REFINE, "X3 [EXT]"),
     "stream_sink_manifest": QuerySpec(
         q_stream_sink_manifest, _ORACLE_STREAM_SINK, "W4 streaming sink"
     ),

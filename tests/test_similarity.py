@@ -143,3 +143,43 @@ def test_pq_plan_is_scan_through(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, f"PQ plan shuffles:\n{plan}"
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pq_refine_recovers_recall_and_broadcasts(spark):
+    """Two-stage PQ->exact re-rank must (a) beat the raw ADC ranking's
+    recall vs the exact cosine top-10 (measured: ~0.62 mean vs ~0.28 for
+    ADC alone; pin mean >= 0.45, each >= 0.3) and (b) join the shortlist
+    back to the vectors via broadcast — the exact pass must touch only
+    shortlist rows, never shuffle the vector column."""
+    import numpy as np
+
+    from etl_poor_main_pipeline_spark.operators.similarity import (
+        pq_codebook,
+        pq_refine_topk,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    rows = e.collect()
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([r.embedding for r in rows], dtype=np.float64)
+    cb = pq_codebook(e)
+    recalls = []
+    for qid in (0, 7, 33, 101, 250, 444):
+        q = V[ids == qid][0]
+        cos = np.round((V @ q) / (np.linalg.norm(V, axis=1) * np.linalg.norm(q)), 6)
+        cos[ids == qid] = -np.inf
+        exact = set(ids[np.lexsort((ids, -cos))[:10]].tolist())
+        got = {
+            r.vec_id
+            for r in pq_refine_topk(
+                e.filter(F.col("vec_id") != qid), cb, list(q), k=10, shortlist=50
+            ).collect()
+        }
+        recalls.append(len(exact & got) / 10)
+        assert recalls[-1] >= 0.3, f"query {qid}: refine recall {recalls[-1]}"
+    assert sum(recalls) / len(recalls) >= 0.45
+    plan = (
+        pq_refine_topk(e, cb, list(V[7]), k=10, shortlist=50)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan

@@ -36,9 +36,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for every oracle-expressible query (140 of 147,
-    including the drained streaming pipelines and the deterministic
-    stub-kernel multimodal ops); the 7 rows-only entries are the
-    inherently engine-specific approximations: HLL/percentile sketches,
+    """DuckDB twins for every oracle-expressible query (144 of 151,
+    including the drained streaming pipelines, the streamed custom-sink
+    round-trip, the PQ ANN pair, and the deterministic stub-kernel
+    multimodal ops); the 7 rows-only entries are the inherently
+    engine-specific approximations: HLL/percentile sketches,
     approx_count_distinct, MinHash-LSH, SimHash, IVF, SRP-LSH."""
     return _registry.oracle_sql()

@@ -248,13 +248,14 @@ def pq_encode(
         + ")"
     )
     d = _pq_microdist(vec_col, "k", dsub)
+    # materialize each subspace's K distances once, then argmin =
+    # array_position of the min (1-based, first occurrence = lowest-k
+    # tiebreak) — each micro-distance is computed exactly once, vs twice
+    # in a CASE-accumulator argmin
     codes = (
-        f"transform(sequence(0,{m_count - 1}), m -> "
-        f"aggregate(sequence(0,{k_count - 1}),"
-        f" named_struct('bd', cast(9223372036854775807 as bigint), 'bk', -1),"
-        f" (acc, k) -> CASE WHEN {d} < acc.bd THEN named_struct('bd', {d}, 'bk', k)"
-        f" ELSE acc END,"
-        f" acc -> acc.bk))"
+        f"transform("
+        f"transform(sequence(0,{m_count - 1}), m -> transform(sequence(0,{k_count - 1}), k -> {d})),"
+        f" darr -> cast(array_position(darr, array_min(darr)) - 1 as int))"
     )
     return df.withColumn("_cb", F.expr(cb_sql)).select(
         F.col(id_col), F.col(vec_col), F.expr(codes).alias("pq_codes"), F.col("_cb")

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from .operators.similarity import pq_codebook, pq_refine_topk, pq_topk_adc
 from .registry import QuerySpec, _dsum, _dsum_sql, _t
-from .sources.datasource import read_manifest_stream_output, register_manifest_sink
+from .sources.datasource import read_manifest_parquet, register_manifest_parquet_sink
 from .streaming.events import read_event_stream_parquet
 
 
@@ -140,20 +140,25 @@ LIMIT 10
 def q_stream_sink_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming write through the custom Python sink, verified by what a
     *reader of the sink* sees: events stream -> row-level projection ->
-    ``writeStream.format("manifest_json")`` (per-batch atomic manifest
-    publish) drained with availableNow -> read back ONLY manifest-listed
-    files -> per-type aggregate. Row-level pass-through is
-    batch-boundary-independent, so the read-back must equal the batch
-    aggregate over the source — any dropped/duplicated/uncommitted row
-    breaks the hash. Doubles survive the JSON hop exactly (json.dumps
-    emits shortest-round-trip repr; Spark parses it back to the same
-    double), and the sum then takes the usual exact decimal path."""
-    register_manifest_sink(spark)
-    ev = read_event_stream_parquet(spark, sf_dir).select("event_id", "event_type", "value")
+    ``writeStream.format("manifest_parquet")`` (Arrow-batch task writes,
+    per-batch atomic manifest publish) drained with availableNow -> read
+    back ONLY manifest-listed files -> per-type aggregate. Row-level
+    pass-through is batch-boundary-independent, so the read-back must
+    equal the batch aggregate over the source — any dropped, duplicated,
+    or uncommitted row breaks the hash. The Arrow->parquet hop preserves
+    doubles exactly; the sum then takes the usual exact decimal path."""
+    register_manifest_parquet_sink(spark)
+    # a one-file source is one input split: repartition the micro-batch so
+    # the Python sink writes in parallel (sink parallelism = partitions)
+    ev = (
+        read_event_stream_parquet(spark, sf_dir)
+        .select("event_id", "event_type", "value")
+        .repartition(8)
+    )
     out_dir = tempfile.mkdtemp(prefix="manifest_stream_")
     ckpt = os.path.join(out_dir, "_ckpt")
     q = (
-        ev.writeStream.format("manifest_json")
+        ev.writeStream.format("manifest_parquet")
         .option("path", out_dir)
         .option("checkpointLocation", ckpt)
         .outputMode("append")
@@ -165,7 +170,7 @@ def q_stream_sink_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         if q.isActive:
             q.stop()
-    back = read_manifest_stream_output(spark, out_dir)
+    back = read_manifest_parquet(spark, out_dir)
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         _dsum(F.col("value"), "sum_value"),

@@ -27,7 +27,9 @@ from collections.abc import Iterator, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
@@ -276,6 +278,128 @@ class ManifestJsonDataSource(DataSource):
         return ManifestJsonStreamWriter(self.options)
 
 
+def _write_arrow_part(path: str, iterator) -> _PartCommit:
+    """Shared Arrow-batch task write: concatenate the task's RecordBatches
+    into one parquet part file. Vectorized end to end (Arrow transfer from
+    the JVM, columnar parquet encode) — no per-row Python, which is the
+    ~10-100x difference vs the Row-iterator sink at real row counts."""
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    batches = list(iterator)
+    n = sum(b.num_rows for b in batches)
+    if n == 0:
+        return _PartCommit("", 0)
+    os.makedirs(path, exist_ok=True)
+    filename = f"part-{uuid.uuid4().hex}.parquet"
+    pq.write_table(pa.Table.from_batches(batches), os.path.join(path, filename))
+    return _PartCommit(filename, n)
+
+
+def _publish_manifest(path: str, manifest_name: str, messages, extra: dict) -> None:
+    import json as _json
+    import os
+
+    manifest = dict(extra)
+    manifest["files"] = sorted(m.filename for m in messages if m.filename)
+    manifest["n_rows"] = sum(m.n_rows for m in messages)
+    tmp = os.path.join(path, manifest_name + ".tmp")
+    with open(tmp, "w") as f:
+        _json.dump(manifest, f)
+    os.replace(tmp, os.path.join(path, manifest_name))
+
+
+def _abort_parts(path: str, messages) -> None:
+    import contextlib
+    import os
+
+    for m in messages:
+        if m is None or not m.filename:
+            continue
+        with contextlib.suppress(OSError):
+            os.remove(os.path.join(path, m.filename))
+
+
+class ManifestParquetWriter(DataSourceArrowWriter):
+    """Arrow-batch batch writer: parquet part files + atomic ``_MANIFEST.json``
+    publish — the same commit protocol as ``ManifestJsonWriter`` on the
+    vectorized path (the JSON sink demonstrates the Row protocol; this is
+    what you deploy)."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("manifest_parquet requires .option('path', ...)")
+
+    def write(self, iterator) -> _PartCommit:
+        return _write_arrow_part(self.path, iterator)
+
+    def commit(self, messages) -> None:
+        _publish_manifest(self.path, "_MANIFEST.json", messages, {})
+
+    def abort(self, messages) -> None:
+        _abort_parts(self.path, messages)
+
+
+class ManifestParquetStreamWriter(DataSourceStreamArrowWriter):
+    """Arrow-batch streaming writer with the per-batch manifest commit:
+    identical exactly-once story to ``ManifestJsonStreamWriter``
+    (at-least-once micro-batch delivery + idempotent ``_MANIFEST-<batch>``
+    swap), but each task writes its RecordBatches as a parquet part —
+    columnar, exact doubles, and the read-back needs no inference scan."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("manifest_parquet requires .option('path', ...)")
+
+    def write(self, iterator) -> _PartCommit:
+        return _write_arrow_part(self.path, iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        _publish_manifest(
+            self.path, f"_MANIFEST-{batchId}.json", messages, {"batch_id": batchId}
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        _abort_parts(self.path, messages)
+
+
+class ManifestParquetDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "manifest_parquet"
+
+    def writer(self, schema, overwrite: bool) -> ManifestParquetWriter:
+        return ManifestParquetWriter(self.options)
+
+    def streamWriter(self, schema, overwrite: bool) -> ManifestParquetStreamWriter:
+        return ManifestParquetStreamWriter(self.options)
+
+
+def read_manifest_parquet(spark, path: str):
+    """Read back a manifest_parquet dataset (batch ``_MANIFEST.json`` and/or
+    streamed ``_MANIFEST-<batch>.json``): only manifest-listed part files —
+    orphans from aborted or replay-superseded attempts are invisible."""
+    import glob
+    import json as _json
+    import os
+
+    files: list[str] = []
+    for mf in sorted(glob.glob(os.path.join(path, "_MANIFEST*.json"))):
+        with open(mf) as f:
+            files.extend(os.path.join(path, fn) for fn in _json.load(f)["files"])
+    return spark.read.parquet(*files)
+
+
+def register_manifest_parquet_sink(spark) -> None:
+    """Idempotent registration of the ``manifest_parquet`` sink format."""
+    spark.dataSource.register(ManifestParquetDataSource)
+
+
 def read_manifest_json(spark, path: str):
     """Read back a manifest_json dataset: only files the manifest lists —
     uncommitted part files are invisible by construction."""
@@ -288,10 +412,13 @@ def read_manifest_json(spark, path: str):
     return spark.read.json(files)
 
 
-def read_manifest_stream_output(spark, path: str):
+def read_manifest_stream_output(spark, path: str, schema: str | None = None):
     """Read back a streamed manifest_json dataset: the union of every
     committed batch manifest's files. Orphan part files (aborted or
-    superseded-by-replay batches) appear in no manifest and are invisible."""
+    superseded-by-replay batches) appear in no manifest and are invisible.
+    Pass ``schema`` (DDL string) to skip the inference scan — at scale an
+    extra full pass over the sink output just to guess types is a real
+    cost, and the writer's schema is known."""
     import glob
     import json as _json
     import os
@@ -300,7 +427,8 @@ def read_manifest_stream_output(spark, path: str):
     for mf in sorted(glob.glob(os.path.join(path, "_MANIFEST-*.json"))):
         with open(mf) as f:
             files.extend(os.path.join(path, fn) for fn in _json.load(f)["files"])
-    return spark.read.json(files)
+    reader = spark.read.schema(schema) if schema else spark.read
+    return reader.json(files)
 
 
 def register_manifest_sink(spark) -> None:

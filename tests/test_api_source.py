@@ -250,3 +250,51 @@ def test_manifest_json_stream_writer(spark, tmp_path):
     back = read_manifest_stream_output(spark, out)
     assert back.count() == 50
     assert back.agg({"id": "max"}).head()[0] == 49
+
+
+def test_manifest_parquet_arrow_writers(spark, tmp_path):
+    """Arrow-batch manifest sink, batch and streaming: parquet parts +
+    manifest-scoped visibility, exact double round-trip, and the batch
+    writer goes through DataSourceArrowWriter (vectorized, no per-row
+    Python)."""
+    import glob
+    import json
+    import os
+
+    from etl_poor_main_pipeline_spark.sources.datasource import (
+        read_manifest_parquet,
+        register_manifest_parquet_sink,
+    )
+
+    register_manifest_parquet_sink(spark)
+    # batch path
+    out_b = str(tmp_path / "batch_out")
+    df = spark.range(1000).selectExpr("id", "cast(id as double) / 7.0 AS v").repartition(4)
+    df.write.format("manifest_parquet").mode("append").option("path", out_b).save()
+    manifest = json.load(open(os.path.join(out_b, "_MANIFEST.json")))
+    assert manifest["n_rows"] == 1000
+    back = read_manifest_parquet(spark, out_b)
+    assert back.count() == 1000
+    # exact double round-trip through Arrow -> parquet
+    assert back.filter("v = cast(id as double) / 7.0").count() == 1000
+
+    # streaming path
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.json"), "w") as f:
+        for i in range(50):
+            f.write(json.dumps({"id": i}) + "\n")
+    out_s = str(tmp_path / "stream_out")
+    q = (
+        spark.readStream.schema("id long").json(src)
+        .writeStream.format("manifest_parquet")
+        .option("path", out_s)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert glob.glob(os.path.join(out_s, "_MANIFEST-*.json"))
+    sback = read_manifest_parquet(spark, out_s)
+    assert sback.count() == 50 and sback.agg({"id": "max"}).head()[0] == 49

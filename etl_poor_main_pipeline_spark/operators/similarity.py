@@ -155,16 +155,23 @@ def ivf_build(
     assigned = (
         df.crossJoin(F.broadcast(centroids))
         .withColumn("_sim", cosine_similarity(F.col(vec_col), F.col("centroid")))
+        # assignment ranks on the integer micro-sim (floor(1e6*x+0.5), the
+        # value-defining rounding both engines share) with a cluster-id
+        # tiebreak, so the argmax is bit-deterministic cross-engine — what
+        # lets IVF carry a full DuckDB oracle instead of a rows-only check
+        .withColumn(
+            "_usim", F.floor(F.col("_sim") * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+        )
         .withColumn(
             "_rk",
             F.row_number().over(
                 __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
                     id_col
-                ).orderBy(F.col("_sim").desc(), F.col("cluster_id").asc())
+                ).orderBy(F.col("_usim").desc(), F.col("cluster_id").asc())
             ),
         )
         .filter(F.col("_rk") == 1)
-        .drop("_rk", "centroid")
+        .drop("_rk", "_usim", "centroid")
         .withColumnRenamed("_sim", "centroid_sim")
     )
     return assigned, centroids
@@ -352,8 +359,12 @@ def ivf_search(
     ``nprobe`` closest clusters, exact-rank only those clusters' vectors."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     probe = (
-        centroids.withColumn("_sim", cosine_similarity(F.col("centroid"), q))
-        .orderBy(F.col("_sim").desc(), F.col("cluster_id").asc())
+        centroids.withColumn(
+            "_usim",
+            F.floor(cosine_similarity(F.col("centroid"), q) * F.lit(1000000.0) + F.lit(0.5))
+            .cast("bigint"),
+        )
+        .orderBy(F.col("_usim").desc(), F.col("cluster_id").asc())
         .limit(nprobe)
         .select("cluster_id")
     )

@@ -1048,12 +1048,43 @@ WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 
 def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 scale path: IVF (16 deterministic centroids, nprobe=4) top-10.
-    Approximate -> rows-only check; recall vs the exact query is asserted
-    in the unit tests."""
+    Assignment and probe selection rank on integer micro-sims
+    (floor(1e6*cos+0.5), cluster-id tiebreak), so the whole approximate
+    pipeline is bit-deterministic cross-engine and carries a full DuckDB
+    oracle; recall vs the exact query is additionally pinned in tests."""
     e = _t(spark, sf_dir, "embeddings")
     qv = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     assigned, centroids = similarity.ivf_build(e.filter(F.col("vec_id") != 0), num_centroids=16)
     return similarity.ivf_search(assigned, centroids, qv, k=10, nprobe=4)
+
+
+_ORACLE_IVF = """
+WITH cents AS (
+  SELECT cast(vec_id AS int) AS cluster_id, embedding::DOUBLE[] AS centroid
+  FROM embeddings WHERE vec_id <> 0 ORDER BY vec_id ASC LIMIT 16
+), q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+assigned AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT e.vec_id, c.cluster_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY cast(floor(1000000.0 * list_cosine_similarity(e.embedding::DOUBLE[], c.centroid) + 0.5) AS bigint) DESC,
+                      c.cluster_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c
+    WHERE e.vec_id <> 0
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT cluster_id FROM cents, q
+  ORDER BY cast(floor(1000000.0 * list_cosine_similarity(centroid, qv) + 0.5) AS bigint) DESC, cluster_id ASC
+  LIMIT 4
+)
+SELECT a.vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], (SELECT qv FROM q)), 6) AS cosine
+FROM assigned a JOIN probe p USING (cluster_id) JOIN embeddings e ON e.vec_id = a.vec_id
+ORDER BY cosine DESC, a.vec_id ASC
+LIMIT 10
+"""
 
 
 def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1319,7 +1350,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_simhash": QuerySpec(q_simhash_neardup, None, "X2 approx"),
     "similarity_topk_cosine": QuerySpec(q_topk_cosine, _ORACLE_TOPK_COS, "X3"),
     "similarity_self_join": QuerySpec(q_cosine_self_join, _ORACLE_COS_SELF, "X4"),
-    "similarity_ivf_topk": QuerySpec(q_ivf_search, None, "X3 approx"),
+    "similarity_ivf_topk": QuerySpec(q_ivf_search, _ORACLE_IVF, "X3 approx, full parity"),
     "text_top_terms": QuerySpec(q_top_terms, _ORACLE_TOP_TERMS, "X6"),
     "text_tf_idf": QuerySpec(q_tf_idf, _ORACLE_TFIDF, "X6"),
     "text_stats_per_lang": QuerySpec(q_text_stats, _ORACLE_TEXT_STATS, "X7"),
@@ -1346,6 +1377,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext10 import REGISTRY_EXT10
     from .registry_ext11 import REGISTRY_EXT11
     from .registry_ext12 import REGISTRY_EXT12
+    from .registry_ext13 import REGISTRY_EXT13
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1360,6 +1392,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT10)
     merged.update(REGISTRY_EXT11)
     merged.update(REGISTRY_EXT12)
+    merged.update(REGISTRY_EXT13)
     return merged
 
 

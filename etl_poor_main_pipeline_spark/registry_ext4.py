@@ -282,8 +282,9 @@ def q_similarity_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     16 fixed seeded hyperplanes give every vector a 16-bit sign bucket;
     candidates are vectors whose bucket is within Hamming distance 6 of
     the query bucket (a cheap integer filter), exact cosine ranks only
-    the candidates. Approximate -> rows-only check; recall vs the exact
-    top-k is asserted in tests."""
+    the candidates. Deterministic given the seeded planes, so the oracle
+    (same planes embedded as literals) gives full parity; recall vs the
+    exact top-k is additionally asserted in tests."""
     from .functions.vectors import cosine_similarity
 
     e = _t(spark, sf_dir, "embeddings")
@@ -329,6 +330,36 @@ def q_similarity_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _srp_oracle() -> str:
+    """DuckDB twin for SRP-LSH, generated from the same seeded planes the
+    Spark query uses (random.Random(7) — identical float sequence, so the
+    embedded literals equal the Spark-side F.lit planes bit-for-bit). The
+    sign test ``dot > 0`` is the only FP comparison; a flip would need a
+    dot within the engines' summation-order noise of 0 (~1e-13 odds per
+    dot on this data)."""
+    dim, nplanes = 64, 16
+    rnd = random.Random(7)
+    planes = [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(nplanes)]
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"[{','.join(repr(w) for w in plane)}]::DOUBLE[]) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(planes)
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, {bucket_terms} AS bucket
+  FROM embeddings
+), q AS (SELECT embedding::DOUBLE[] AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)), 6) AS cosine
+FROM b
+WHERE vec_id <> 0 AND bit_count(xor(bucket, (SELECT qb FROM q))) <= 6
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
+
+
 REGISTRY_EXT4: dict[str, QuerySpec] = {
     "join_right_outer": QuerySpec(q_join_right_outer, _ORACLE_RIGHT_OUTER, "§2.6 join"),
     "join_cross": QuerySpec(q_cross_join, _ORACLE_CROSS, "§2.6 join"),
@@ -339,5 +370,5 @@ REGISTRY_EXT4: dict[str, QuerySpec] = {
     "tpch_q10_returns": QuerySpec(q_tpch_q10_returns, _ORACLE_Q10, "§2.6 join+agg"),
     "tpch_q14_promo": QuerySpec(q_tpch_q14_promo, _ORACLE_Q14, "§2.6 join+agg"),
     "tpch_q19_disjunctive": QuerySpec(q_tpch_q19_disjunctive, _ORACLE_Q19, "§2.6 join+agg"),
-    "similarity_srp_lsh": QuerySpec(q_similarity_srp_lsh, None, "X3 approx"),
+    "similarity_srp_lsh": QuerySpec(q_similarity_srp_lsh, _srp_oracle(), "X3 approx, full parity"),
 }

@@ -1,0 +1,55 @@
+"""Wave 14: fuzzy levenshtein join and time-series gap-fill."""
+
+from pyspark.sql import functions as F
+
+from etl_poor_main_pipeline_spark.registry_ext13 import (
+    q_fuzzy_join_levenshtein,
+    q_timeseries_gapfill,
+)
+from etl_poor_main_pipeline_spark.sources.read import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_fuzzy_join_blocking_is_lossless(spark):
+    """The +-1 length-band blocked plan must return exactly the quadratic
+    lev<=1 pair set (blocking is a plan optimization, not a semantics
+    change), with each pair appearing once."""
+    s = load_table(spark, SF, "supplier").select("s_suppkey", "s_name")
+    a, b = s.alias("a"), s.alias("b")
+    brute = {
+        (r.ka, r.kb)
+        for r in a.join(b, F.col("a.s_suppkey") < F.col("b.s_suppkey"))
+        .filter(F.levenshtein(F.col("a.s_name"), F.col("b.s_name")) <= 1)
+        .select(F.col("a.s_suppkey").alias("ka"), F.col("b.s_suppkey").alias("kb"))
+        .collect()
+    }
+    got = [(r.supkey_a, r.supkey_b) for r in q_fuzzy_join_levenshtein(spark, SF).collect()]
+    assert set(got) == brute
+    assert len(got) == len(set(got)), "blocked join emitted duplicate pairs"
+
+
+def test_gapfill_grid_and_interpolation(spark):
+    out = q_timeseries_gapfill(spark, SF).collect()
+    by_type: dict[str, list] = {}
+    for r in out:
+        by_type.setdefault(r.event_type, []).append(r)
+    # full dense grid: every type covers the same global hour range
+    sizes = {len(v) for v in by_type.values()}
+    assert len(sizes) == 1
+    hours = sorted(r.hour for r in next(iter(by_type.values())))
+    assert len(hours) == len(set(hours))
+    # no unfilled values anywhere (boundaries use nearest-edge fill)
+    assert all(r.sum_value_filled is not None for r in out)
+    # gap rows are marked by n_events = 0 and sit between neighbors
+    for rows in by_type.values():
+        rows.sort(key=lambda r: r.hour)
+        for i in range(1, len(rows) - 1):
+            r = rows[i]
+            if r.n_events == 0 and rows[i - 1].n_events > 0 and rows[i + 1].n_events > 0:
+                lo = min(rows[i - 1].sum_value_filled, rows[i + 1].sum_value_filled)
+                hi = max(rows[i - 1].sum_value_filled, rows[i + 1].sum_value_filled)
+                assert lo - 1e-4 <= r.sum_value_filled <= hi + 1e-4, (
+                    f"interpolated value {r.sum_value_filled} outside neighbor"
+                    f" envelope [{lo}, {hi}] at {r.event_type} {r.hour}"
+                )

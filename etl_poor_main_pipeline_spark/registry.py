@@ -1378,6 +1378,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext11 import REGISTRY_EXT11
     from .registry_ext12 import REGISTRY_EXT12
     from .registry_ext13 import REGISTRY_EXT13
+    from .registry_ext14 import REGISTRY_EXT14
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1393,6 +1394,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT11)
     merged.update(REGISTRY_EXT12)
     merged.update(REGISTRY_EXT13)
+    merged.update(REGISTRY_EXT14)
     return merged
 
 

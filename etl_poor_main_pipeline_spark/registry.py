@@ -1379,6 +1379,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext12 import REGISTRY_EXT12
     from .registry_ext13 import REGISTRY_EXT13
     from .registry_ext14 import REGISTRY_EXT14
+    from .registry_ext15 import REGISTRY_EXT15
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1395,6 +1396,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT12)
     merged.update(REGISTRY_EXT13)
     merged.update(REGISTRY_EXT14)
+    merged.update(REGISTRY_EXT15)
     return merged
 
 

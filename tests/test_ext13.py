@@ -53,3 +53,37 @@ def test_gapfill_grid_and_interpolation(spark):
                     f"interpolated value {r.sum_value_filled} outside neighbor"
                     f" envelope [{lo}, {hi}] at {r.event_type} {r.hour}"
                 )
+
+
+def test_bitmap_distinct_is_exact_and_mergeable(spark):
+    """The bitmap path must equal COUNT(DISTINCT) exactly, and partial
+    bitmaps built on disjoint halves must merge (bitmap_or_agg) to the
+    same totals — the property that makes it usable incrementally."""
+    from pyspark.sql import functions as F
+
+    from etl_poor_main_pipeline_spark.registry_ext15 import q_bitmap_exact_distinct
+
+    li = load_table(spark, SF, "lineitem")
+    exact = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    got = {
+        r.l_returnflag: r.n_distinct_parts
+        for r in q_bitmap_exact_distinct(spark, SF).collect()
+    }
+    assert got == exact
+    # mergeability: per-half partial bitmaps OR together to the same count
+    half = li.withColumn("_half", (F.col("l_orderkey") % 2).cast("int"))
+    partial = half.groupBy(
+        "l_returnflag", "_half", F.bitmap_bucket_number("l_partkey").alias("bkt")
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("l_partkey")).alias("bm"))
+    merged = (
+        partial.groupBy("l_returnflag", "bkt")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.bitmap_count("bm")).cast("bigint").alias("n"))
+    )
+    assert {r.l_returnflag: r.n for r in merged.collect()} == exact

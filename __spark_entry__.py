@@ -36,10 +36,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for every oracle-expressible query (144 of 151,
+    """DuckDB twins for every oracle-expressible query (154 of 159,
     including the drained streaming pipelines, the streamed custom-sink
-    round-trip, the PQ ANN pair, and the deterministic stub-kernel
-    multimodal ops); the 7 rows-only entries are the inherently
+    round-trip, and the full ANN tier — IVF/SRP/PQ rank on integer
+    micro-distances / seeded-literal planes so even the approximate
+    paths get full parity); the 5 rows-only entries are the inherently
     engine-specific approximations: HLL/percentile sketches,
-    approx_count_distinct, MinHash-LSH, SimHash, IVF, SRP-LSH."""
+    approx_count_distinct, MinHash-LSH, SimHash."""
     return _registry.oracle_sql()

@@ -308,6 +308,52 @@ def pq_topk_adc(
     )
 
 
+def pq_search_codes(
+    codes_df: DataFrame,
+    codebook: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+) -> DataFrame:
+    """ADC top-k over a PRE-ENCODED codes table — the serving path. The
+    deployment story of PQ is encode-once, store the codes (8 bytes/vec
+    at M=8), and answer queries by scanning codes only: this function
+    never touches an embedding column, so a query over a parquet codes
+    table reads ~32x less than the raw-vector scan (the test pins the
+    pruned ReadSchema). Same integer ADC arithmetic as ``pq_topk_adc``,
+    so results are identical to encode-at-query-time."""
+    m_count = len(codebook)
+    dsub = len(codebook[0][0])
+    cb_sql = (
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                "array(" + ",".join(f"{x!r}D" for x in cw) + ")" for cw in sub
+            )
+            + ")"
+            for sub in codebook
+        )
+        + ")"
+    )
+    q_sql = "array(" + ",".join(f"{float(x)!r}D" for x in query_vec) + ")"
+    dq = _pq_microdist("_q", f"element_at({codes_col}, m+1)", dsub)
+    adc = f"aggregate(sequence(0,{m_count - 1}), cast(0 as bigint), (s, m) -> s + {dq})"
+    return (
+        codes_df.select(id_col, codes_col)
+        .withColumn("_cb", F.expr(cb_sql))
+        .withColumn("_q", F.expr(q_sql))
+        .select(
+            F.col(id_col),
+            F.concat_ws(",", F.col(codes_col)).alias("codes_csv"),
+            F.expr(adc).alias("adc_microdist"),
+        )
+        .orderBy(F.col("adc_microdist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def pq_refine_topk(
     df: DataFrame,
     codebook: list[list[list[float]]],

@@ -183,3 +183,33 @@ def test_pq_refine_recovers_recall_and_broadcasts(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_pq_codes_table_serving_path(spark, tmp_path):
+    """Encode once, store codes, search the codes table: results must be
+    identical to encode-at-query-time, and the codes-table scan must read
+    ONLY (vec_id, pq_codes) — never an embedding column. That pruned
+    ReadSchema is the 8-bytes-per-vector serving claim made checkable."""
+    from etl_poor_main_pipeline_spark.operators.similarity import (
+        pq_codebook,
+        pq_encode,
+        pq_search_codes,
+        pq_topk_adc,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    cb = pq_codebook(e)
+    q = [float(x) for x in e.filter(F.col("vec_id") == 7).head().embedding]
+    codes_path = str(tmp_path / "pq_codes")
+    pq_encode(e, cb).select("vec_id", "pq_codes").write.parquet(codes_path)
+
+    codes = spark.read.parquet(codes_path)
+    served = pq_search_codes(codes, cb, q, k=10)
+    inline = [
+        (r.vec_id, r.codes_csv, r.adc_microdist) for r in pq_topk_adc(e, cb, q, k=10).collect()
+    ]
+    assert [(r.vec_id, r.codes_csv, r.adc_microdist) for r in served.collect()] == inline
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    read_schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schemas and all("embedding" not in ln for ln in read_schemas)
+    assert "Exchange" not in plan

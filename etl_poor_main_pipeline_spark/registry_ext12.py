@@ -20,7 +20,13 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators.similarity import pq_codebook, pq_refine_topk, pq_topk_adc
+from .operators.similarity import (
+    pq_codebook,
+    pq_encode,
+    pq_refine_topk,
+    pq_search_codes,
+    pq_topk_adc,
+)
 from .registry import QuerySpec, _dsum, _dsum_sql, _t
 from .sources.datasource import read_manifest_parquet, register_manifest_parquet_sink
 from .streaming.events import read_event_stream_parquet
@@ -137,6 +143,24 @@ LIMIT 10
 """
 
 
+def q_similarity_pq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] X3 PQ serving round trip: encode once -> persist the codes
+    table (parquet, 8 ints per vector) -> answer the query from the
+    stored codes WITHOUT the embedding column. Identical integer ADC
+    arithmetic to ``similarity_pq_adc``, so the same oracle applies —
+    what the round trip adds to the gate is the persistence path: any
+    codes-table corruption, schema drift, or scan of the wrong column
+    breaks the hash. At billions of vectors this codes scan is the ~32x
+    cheaper query path (the unit test additionally pins the pruned
+    ReadSchema)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_codebook(emb, num_subspaces=8, num_codewords=16)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 7).select("embedding").collect()[0][0]]
+    codes_dir = tempfile.mkdtemp(prefix="pq_codes_") + "/codes"
+    pq_encode(emb, cb).select("vec_id", "pq_codes").write.parquet(codes_dir)
+    return pq_search_codes(spark.read.parquet(codes_dir), cb, qv, k=10)
+
+
 def q_stream_sink_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming write through the custom Python sink, verified by what a
     *reader of the sink* sees: events stream -> row-level projection ->
@@ -189,6 +213,7 @@ GROUP BY event_type
 REGISTRY_EXT12: dict[str, QuerySpec] = {
     "similarity_pq_adc": QuerySpec(q_similarity_pq_adc, _ORACLE_PQ_ADC, "X3 [EXT]"),
     "similarity_pq_refine": QuerySpec(q_similarity_pq_refine, _ORACLE_PQ_REFINE, "X3 [EXT]"),
+    "similarity_pq_serving": QuerySpec(q_similarity_pq_serving, _ORACLE_PQ_ADC, "X3 [EXT]"),
     "stream_sink_manifest": QuerySpec(
         q_stream_sink_manifest, _ORACLE_STREAM_SINK, "W4 streaming sink"
     ),

@@ -380,10 +380,16 @@ class ManifestParquetDataSource(DataSource):
         return ManifestParquetStreamWriter(self.options)
 
 
-def read_manifest_parquet(spark, path: str):
+def read_manifest_parquet(spark, path: str, as_of_batch: int | None = None):
     """Read back a manifest_parquet dataset (batch ``_MANIFEST.json`` and/or
     streamed ``_MANIFEST-<batch>.json``): only manifest-listed part files —
-    orphans from aborted or replay-superseded attempts are invisible."""
+    orphans from aborted or replay-superseded attempts are invisible.
+
+    ``as_of_batch`` gives snapshot reads over the streamed output: only
+    batches with id <= as_of_batch are visible — the manifest-per-commit
+    layout IS a snapshot log, so time travel falls out of the commit
+    protocol for free (the same mechanism table formats like Iceberg/
+    Delta build on)."""
     import glob
     import json as _json
     import os
@@ -391,7 +397,10 @@ def read_manifest_parquet(spark, path: str):
     files: list[str] = []
     for mf in sorted(glob.glob(os.path.join(path, "_MANIFEST*.json"))):
         with open(mf) as f:
-            files.extend(os.path.join(path, fn) for fn in _json.load(f)["files"])
+            manifest = _json.load(f)
+        if as_of_batch is not None and manifest.get("batch_id", -1) > as_of_batch:
+            continue
+        files.extend(os.path.join(path, fn) for fn in manifest["files"])
     return spark.read.parquet(*files)
 
 

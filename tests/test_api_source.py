@@ -298,3 +298,94 @@ def test_manifest_parquet_arrow_writers(spark, tmp_path):
     assert glob.glob(os.path.join(out_s, "_MANIFEST-*.json"))
     sback = read_manifest_parquet(spark, out_s)
     assert sback.count() == 50 and sback.agg({"id": "max"}).head()[0] == 49
+
+
+def test_manifest_parquet_snapshot_read_as_of_batch(spark, tmp_path):
+    """The per-batch manifest log doubles as a snapshot log: reading
+    as-of batch N sees exactly the rows committed through batch N —
+    time travel from the commit protocol, no extra metadata."""
+    import json
+    import os
+
+    from etl_poor_main_pipeline_spark.sources.datasource import (
+        read_manifest_parquet,
+        register_manifest_parquet_sink,
+    )
+
+    register_manifest_parquet_sink(spark)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+
+    def write_file(n, lo, hi):
+        with open(os.path.join(src, f"{n}.json"), "w") as f:
+            for i in range(lo, hi):
+                f.write(json.dumps({"id": i}) + "\n")
+
+    def drain():
+        q = (
+            spark.readStream.schema("id long").json(src)
+            .writeStream.format("manifest_parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_file("a", 0, 30)
+    drain()
+    write_file("b", 30, 50)
+    drain()  # second drain picks up only the new file -> a later batch
+
+    full = read_manifest_parquet(spark, out)
+    assert full.count() == 50
+    snap0 = read_manifest_parquet(spark, out, as_of_batch=0)
+    assert snap0.count() == 30
+    assert snap0.agg({"id": "max"}).head()[0] == 29
+
+
+def test_python_source_to_python_sink_streaming_roundtrip(spark, tmp_path):
+    """Full custom-Python streaming path: weather_api streaming source
+    (poll reader) -> projection -> manifest_parquet Arrow sink. Two poll
+    batches drain; the committed output contains every configured city
+    with the deterministic offline payload each time."""
+    import time
+
+    from etl_poor_main_pipeline_spark.sources.datasource import (
+        read_manifest_parquet,
+        register_manifest_parquet_sink,
+        register_weather_source,
+    )
+
+    register_weather_source(spark)
+    register_manifest_parquet_sink(spark)
+    cities = ["Toronto", "London", "Tokyo"]
+    out = str(tmp_path / "out")
+    stream = (
+        spark.readStream.format("weather_api")
+        .option("cities", ",".join(cities))
+        .load()
+    )
+    q = (
+        stream.writeStream.format("manifest_parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            try:
+                if read_manifest_parquet(spark, out).count() >= 2 * len(cities):
+                    break
+            except Exception:
+                pass  # no manifest committed yet
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    back = read_manifest_parquet(spark, out)
+    assert back.count() >= 2 * len(cities)
+    assert {r.city for r in back.select("city").distinct().collect()} == set(cities)

@@ -32,6 +32,21 @@ def main() -> None:
     qs = queries()
     # warm-up: JVM, codegen, parquet footer caches
     qs["flagship_silver_shape"](spark, sf_dir).count()
+    # warm the Python DataSource worker pool the same way (one-time
+    # process spin-up, not per-query work — same stance as the JVM warm-up)
+    try:
+        import tempfile
+
+        from etl_poor_main_pipeline_spark.sources.datasource import (
+            register_manifest_parquet_sink,
+        )
+
+        register_manifest_parquet_sink(spark)
+        spark.range(10).write.format("manifest_parquet").mode("append").option(
+            "path", tempfile.mkdtemp(prefix="bench_warm_")
+        ).save()
+    except Exception as exc:
+        print(f"bench: python-sink warm-up skipped: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():

@@ -147,7 +147,11 @@ def q_udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk fingerprinted with md5 JVM-side (the UDTF emits text; hashing
     and aggregation stay in codegen). The oracle rebuilds the same
     windows with list_slice over a fixed stride series."""
-    d = _t(spark, sf_dir, "documents")
+    from .operators.dedup import spread
+
+    # one-file fixture scan = one split: the row-wise UDTF would serialize
+    # on a single Python worker; spread is a no-op at real scale
+    d = spread(_t(spark, sf_dir, "documents"))
     d.createOrReplaceTempView("docs_for_chunking")
     spark.udtf.register("chunk_docs", _chunk_udtf())
     out = spark.sql(

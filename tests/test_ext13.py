@@ -87,3 +87,21 @@ def test_bitmap_distinct_is_exact_and_mergeable(spark):
         .agg(F.sum(F.bitmap_count("bm")).cast("bigint").alias("n"))
     )
     assert {r.l_returnflag: r.n for r in merged.collect()} == exact
+
+
+def test_per_source_cap_plan_prunes_before_shuffle(spark):
+    """The rank<=15 filter must compile to WindowGroupLimit: each map
+    task keeps only its local top-15 per source BEFORE the exchange, so
+    at scale the shuffle carries ~cap*sources rows, not the corpus."""
+    from etl_poor_main_pipeline_spark.registry_ext15 import q_per_source_cap
+
+    df = q_per_source_cap(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange") == 1
+    out = df.collect()
+    per_source = {}
+    for r in out:
+        per_source.setdefault(r.source, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 15
+               for v in per_source.values())

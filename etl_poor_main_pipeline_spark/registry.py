@@ -1380,6 +1380,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext13 import REGISTRY_EXT13
     from .registry_ext14 import REGISTRY_EXT14
     from .registry_ext15 import REGISTRY_EXT15
+    from .registry_ext16 import REGISTRY_EXT16
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1397,6 +1398,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT13)
     merged.update(REGISTRY_EXT14)
     merged.update(REGISTRY_EXT15)
+    merged.update(REGISTRY_EXT16)
     return merged
 
 

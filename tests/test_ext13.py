@@ -105,3 +105,18 @@ def test_per_source_cap_plan_prunes_before_shuffle(spark):
         per_source.setdefault(r.source, []).append(r.rank)
     assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 15
                for v in per_source.values())
+
+
+def test_merge_upsert_conserves_rows(spark):
+    """Upsert accounting: |merged| == |base| + |inserts|; updated keys
+    appear exactly once with the new values (updates win over base)."""
+    from pyspark.sql import functions as F
+
+    from etl_poor_main_pipeline_spark.registry_ext16 import q_merge_upsert
+
+    o = load_table(spark, SF, "orders")
+    n_base = o.count()
+    n_upd = o.filter(F.col("o_orderkey") % 97 == 0).count()
+    out = {r.o_orderstatus: r.n_orders for r in q_merge_upsert(spark, SF).collect()}
+    assert out.get("U", 0) == n_upd and out.get("I", 0) == n_upd
+    assert sum(out.values()) == n_base + n_upd  # base w/ updates replaced + inserts

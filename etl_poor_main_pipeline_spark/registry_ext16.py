@@ -94,7 +94,56 @@ FROM per_key
 """
 
 
+def q_scd2_dimension_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] W1-adjacent SCD Type 2: apply a change batch to a dimension
+    while PRESERVING history — updated keys close their current row
+    (is_current=false, valid_to=batch date) and append a new version;
+    untouched keys pass through. The change batch derives
+    deterministically from the fixture (every c_custkey % 89 == 0 moves
+    to segment 'RESEGMENTED'). Same anti-join/union shape as the MERGE
+    emulation plus the version bookkeeping — history tables are how
+    slowly-changing dims stay joinable as-of any date at warehouse
+    scale."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    changed = c.filter(F.col("c_custkey") % 89 == 0)
+    unchanged = c.join(changed.select("c_custkey"), "c_custkey", "left_anti")
+    keep = unchanged.select(
+        "c_custkey", "c_mktsegment",
+        F.lit(1).alias("version"), F.lit(True).alias("is_current"),
+        F.lit(None).cast("string").alias("valid_to"),
+    )
+    closed = changed.select(
+        "c_custkey", "c_mktsegment",
+        F.lit(1).alias("version"), F.lit(False).alias("is_current"),
+        F.lit("2024-02-01").alias("valid_to"),
+    )
+    opened = changed.select(
+        "c_custkey", F.lit("RESEGMENTED").alias("c_mktsegment"),
+        F.lit(2).alias("version"), F.lit(True).alias("is_current"),
+        F.lit(None).cast("string").alias("valid_to"),
+    )
+    out = keep.unionByName(closed).unionByName(opened)
+    return out.select(
+        "c_custkey", "c_mktsegment",
+        F.col("version").cast("bigint").alias("version"),
+        "is_current", "valid_to",
+    )
+
+
+_ORACLE_SCD2 = """
+WITH changed AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 89 = 0)
+SELECT c_custkey, c_mktsegment, cast(1 AS bigint) AS version,
+       true AS is_current, cast(NULL AS varchar) AS valid_to
+FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM changed)
+UNION ALL
+SELECT c_custkey, c_mktsegment, 1, false, '2024-02-01' FROM changed
+UNION ALL
+SELECT c_custkey, 'RESEGMENTED', 2, true, cast(NULL AS varchar) FROM changed
+"""
+
+
 REGISTRY_EXT16: dict[str, QuerySpec] = {
     "merge_upsert_emulation": QuerySpec(q_merge_upsert, _ORACLE_MERGE, "W1 [EXT] merge"),
     "skew_key_stats": QuerySpec(q_skew_key_stats, _ORACLE_SKEW, "[EXT] scale diag"),
+    "scd2_dimension_update": QuerySpec(q_scd2_dimension_update, _ORACLE_SCD2, "W1 [EXT] scd2"),
 }

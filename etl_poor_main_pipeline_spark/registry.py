@@ -1381,6 +1381,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext14 import REGISTRY_EXT14
     from .registry_ext15 import REGISTRY_EXT15
     from .registry_ext16 import REGISTRY_EXT16
+    from .registry_ext17 import REGISTRY_EXT17
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1399,6 +1400,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT14)
     merged.update(REGISTRY_EXT15)
     merged.update(REGISTRY_EXT16)
+    merged.update(REGISTRY_EXT17)
     return merged
 
 

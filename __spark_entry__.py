@@ -36,7 +36,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for every oracle-expressible query (158 of 163,
+    """DuckDB twins for every oracle-expressible query (160 of 165,
     including the drained streaming pipelines, the streamed custom-sink
     round-trip, and the full ANN tier — IVF/SRP/PQ rank on integer
     micro-distances / seeded-literal planes so even the approximate

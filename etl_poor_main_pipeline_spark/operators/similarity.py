@@ -108,6 +108,53 @@ def cosine_self_join(
     )
 
 
+def cosine_self_join_arrow(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """Arrow-native twin of the blocked GEMM self-join: the per-block
+    kernel receives a ``pyarrow.Table`` (``applyInArrow``, Spark 4) and
+    hands columns to numpy with zero pandas materialization — one fewer
+    copy per batch than ``applyInPandas``, same math, same results (the
+    test pins set-equality against the pandas path). Use this form when
+    the kernel is pure-numeric and never needs pandas semantics."""
+    import numpy as np
+    import pyarrow as pa
+
+    def block_pairs(table: "pa.Table") -> "pa.Table":
+        ids = table.column(id_col).to_numpy(zero_copy_only=False)
+        mat = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in table.column(vec_col).to_pylist()],
+            dtype=np.float64,
+        )
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        mat = mat / norms[:, None]
+        sims = np.round(mat @ mat.T, 6)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = sims[iu, ju] >= threshold
+        iu, ju = iu[keep], ju[keep]
+        ia, ib = ids[iu], ids[ju]
+        swap = ia > ib
+        return pa.table(
+            {
+                "id_a": np.where(swap, ib, ia),
+                "id_b": np.where(swap, ia, ib),
+                "cosine": sims[iu, ju],
+            }
+        )
+
+    return (
+        df.filter(F.col(block_col).isNotNull())
+        .select(F.col(id_col), F.col(block_col), F.col(vec_col))
+        .groupBy(block_col)
+        .applyInArrow(block_pairs, "id_a long, id_b long, cosine double")
+    )
+
+
 def _cosine_self_join_expr(
     df: DataFrame, threshold: float, id_col: str, vec_col: str
 ) -> DataFrame:

@@ -236,3 +236,20 @@ def test_pq_training_monotonically_reduces_distortion(spark):
         d_prev = d
     # training must improve materially over the seed codebook overall
     assert d_prev < 0.80 * pq_distortion(e, pq_codebook(e))
+
+
+def test_arrow_self_join_matches_pandas_path(spark):
+    """applyInArrow GEMM kernel must return exactly the applyInPandas
+    result — same blocks, same rounded cosines."""
+    from etl_poor_main_pipeline_spark.operators.similarity import cosine_self_join_arrow
+
+    e = load_table(spark, SF, "embeddings")
+    pandas_set = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in cosine_self_join(e, threshold=0.35, block_col="label").collect()
+    }
+    arrow_set = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in cosine_self_join_arrow(e, threshold=0.35, block_col="label").collect()
+    }
+    assert arrow_set == pandas_set and len(arrow_set) > 0

@@ -36,11 +36,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for every oracle-expressible query (160 of 165,
-    including the drained streaming pipelines, the streamed custom-sink
-    round-trip, and the full ANN tier — IVF/SRP/PQ rank on integer
-    micro-distances / seeded-literal planes so even the approximate
-    paths get full parity); the 5 rows-only entries are the inherently
-    engine-specific approximations: HLL/percentile sketches,
-    approx_count_distinct, MinHash-LSH, SimHash."""
+    """DuckDB twins for ALL 165 queries — including the drained streaming
+    pipelines, the streamed custom-sink round-trip, the full ANN tier
+    (IVF/SRP/PQ rank on integer micro-distances / seeded-literal planes),
+    MinHash-LSH and SimHash (portable polynomial token hash + fixed-seed
+    coefficient literals the DuckDB twin reproduces arithmetically), and
+    the sketch family (HLL / approx-percentile), whose twins pin the exact
+    anchor values plus the sketch's deterministic accuracy claim."""
     return _registry.oracle_sql()

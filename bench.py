@@ -3,6 +3,12 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
+The stdout line stays small so a pipe-buffer-limited reader can't truncate
+it (BENCH_r01 captured only the tail of a 165-entry line and parsed null):
+``queries`` carries the headline subset, and the FULL per-query map is
+written to ``BENCH_QUERIES.json`` beside this file (path echoed in the
+``queries_file`` key).
+
 Timing = action time of each query's full pipeline (plan + execute +
 collect-to-count) after a session warm-up, so JVM/codegen startup isn't
 billed to the first query.
@@ -63,13 +69,29 @@ def main() -> None:
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    sidecar = os.path.join(REPO, "BENCH_QUERIES.json")
+    with open(sidecar, "w") as fh:
+        json.dump(timings, fh, sort_keys=True)
+    headline = [
+        "flagship_silver_shape",
+        "tpch_q1_pricing_summary",
+        "tpch_q3_shipping_priority",
+        "tpch_q5_star_join",
+        "dedup_minhash_lsh",
+        "similarity_topk_cosine",
+        "text_tf_idf",
+        "sessionization_gap30m",
+    ]
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": {k: timings[k] for k in headline if k in timings},
+                "n_queries": len(timings),
+                "n_failed": sum(1 for t in timings.values() if t < 0),
+                "queries_file": sidecar,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

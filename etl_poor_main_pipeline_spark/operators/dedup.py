@@ -13,10 +13,53 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint_md5, shingles_expr, tokens_expr
+
+#: Mersenne prime 2^31-1 — the modulus for both the universal MinHash
+#: coefficients and the portable polynomial string hash. Every intermediate
+#: product stays under 2^62 (int64-safe with ANSI mode on).
+POLY_P = (1 << 31) - 1
+POLY_MULT = 131
+
+
+def poly_hash_expr(col) -> F.Column:
+    """Portable polynomial string hash: fold codepoints with
+    ``acc = (acc*131 + code) mod (2^31-1)``.
+
+    Bit-identical in any engine with 64-bit integer arithmetic (the DuckDB
+    oracle twins reproduce it with ``list_reduce``), unlike ``xxhash64``
+    whose implementation is Spark-specific. Production MinHash/SimHash
+    default to ``xxhash64`` (JVM intrinsic, ~3x faster); the oracle-paired
+    registry variants use this hash so the full approximate pipeline is
+    cross-engine deterministic. Corpus is ASCII; ``ascii()`` returns the
+    codepoint of the first character in both engines for non-ASCII too.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.aggregate(
+        F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, code: F.pmod(acc * POLY_MULT + code, F.lit(POLY_P)),
+    )
+
+
+def minhash_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Fixed-seed universal-hash coefficients (a, b) for h(x)=(a*x+b) mod p.
+
+    Shared between ``minhash_signatures`` and the registry's generated
+    DuckDB oracle so both engines evaluate the identical hash family."""
+    rnd = random.Random(seed)
+    return [(rnd.randrange(1, POLY_P), rnd.randrange(0, POLY_P)) for _ in range(num_hashes)]
+
+
+def simhash_coeffs(bits: int, seed: int = 1337) -> list[tuple[int, int]]:
+    """Fixed-seed per-bit rehash coefficients for portable SimHash."""
+    rnd = random.Random(seed)
+    return [(rnd.randrange(1, POLY_P), rnd.randrange(0, POLY_P)) for _ in range(bits)]
 
 
 def spread(df: DataFrame) -> DataFrame:
@@ -59,6 +102,7 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_k: int = 3,
     id_cols: list[str] | None = None,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature per document, as pure expressions.
 
@@ -73,18 +117,20 @@ def minhash_signatures(
     signatures stream out of the scan stage. (The explode +
     groupBy(doc).agg(min x64) alternative forces a shuffle by doc id and
     measured ~20x slower at sf0.1.)
-    """
-    p = (1 << 31) - 1
-    import random
 
-    rnd = random.Random(42)
-    coeffs = [(rnd.randrange(1, p), rnd.randrange(0, p)) for _ in range(num_hashes)]
+    ``token_hash``: "xxhash64" (default, JVM intrinsic) or "poly" (portable
+    polynomial hash, see ``poly_hash_expr``) for the oracle-paired variant.
+    Both feed the same universal-hash family; the plan shape is identical.
+    """
+    p = POLY_P
+    coeffs = minhash_coeffs(num_hashes)
 
     keep_cols = id_cols if id_cols else df.columns
-    hashes = F.transform(
-        F.array_distinct(shingles_expr(text_col, shingle_k)),
-        lambda s: F.pmod(F.xxhash64(s), F.lit(p)),
-    )
+    base = F.array_distinct(shingles_expr(text_col, shingle_k))
+    if token_hash == "poly":
+        hashes = F.transform(base, poly_hash_expr)
+    else:
+        hashes = F.transform(base, lambda s: F.pmod(F.xxhash64(s), F.lit(p)))
     # _hs is referenced by the aggregate below: keep it in its own
     # projection — Catalyst's CollapseProject leaves multi-referenced
     # non-trivial aliases alone, so tokenization/hashing runs once per row
@@ -114,6 +160,7 @@ def minhash_lsh_candidates(
     max_bucket_size: int | None = 500,
     block_cols: list[str] | None = None,
     distinct: bool = True,
+    bucket_hash: bool = True,
 ) -> DataFrame:
     """Band the signatures and self-join on band buckets -> candidate pairs.
 
@@ -127,26 +174,31 @@ def minhash_lsh_candidates(
     the standard LSH skew guard: without it one hot bucket turns the
     candidate join quadratic at scale. True near-dup pairs still meet in
     their other (selective) bands.
+
+    ``bucket_hash=True`` (default) compacts each band slice to an 8-byte
+    xxhash64 join key — the production shuffle-size choice. ``False`` keeps
+    the raw comma-joined slice string as the key: identical collision
+    semantics (string equality <=> slice equality, and xxhash64 adds only
+    a ~2^-64 false-collision risk the verify step would catch anyway), but
+    exactly reproducible by the DuckDB oracle twin.
     """
+
+    def _band_key(b: int) -> F.Column:
+        slice_str = F.concat_ws(
+            ",",
+            *[
+                F.col("minhash")[b * rows_per_band + r].cast("string")
+                for r in range(rows_per_band)
+            ],
+        )
+        return F.xxhash64(slice_str) if bucket_hash else slice_str
+
     bands = sig_df.select(
         F.col(id_col),
         *(F.col(c) for c in (block_cols or [])),
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col("minhash")[b * rows_per_band + r].cast("string")
-                                for r in range(rows_per_band)
-                            ],
-                        )
-                    )
-                    for b in range(num_bands)
-                ]
-            )
-        ).alias("band", "bucket"),
+        F.posexplode(F.array(*[_band_key(b) for b in range(num_bands)])).alias(
+            "band", "bucket"
+        ),
     )
     if max_bucket_size is not None:
         from pyspark.sql.window import Window
@@ -184,21 +236,25 @@ def minhash_verify_candidates(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
+    token_repr: str = "xxhash64",
 ) -> DataFrame:
     """Exact-Jaccard verification of LSH candidate pairs — the second half
     of the MinHash dedup pipeline. Joins each candidate pair back to its
     two token sets and keeps pairs with true Jaccard >= threshold.
 
     At scale this is the whole point of LSH: the exact set intersection
-    runs on |candidates| pairs instead of the O(n^2) cross product."""
+    runs on |candidates| pairs instead of the O(n^2) cross product.
+
+    ``token_repr``: "xxhash64" (default) intersects bigint token hashes
+    (~2x faster than string intersect, per-pair collision odds ~1e-13);
+    "string" intersects the raw token sets — exact, and what the DuckDB
+    oracle twin computes."""
+    tok_set = F.array_distinct(tokens_expr(text_col))
+    if token_repr == "xxhash64":
+        tok_set = F.transform(tok_set, lambda t: F.xxhash64(t))
     toks = spread(df).select(
         F.col(id_col).alias("_vid"),
-        # hash tokens to bigint: the Jaccard only needs set cardinalities,
-        # and bigint array_intersect measured ~2x faster than string
-        # intersect (per-pair collision odds ~1e-13)
-        F.transform(F.array_distinct(tokens_expr(text_col)), lambda t: F.xxhash64(t)).alias(
-            "_vtok"
-        ),
+        tok_set.alias("_vtok"),
     ).withColumn("_vn", F.size("_vtok"))
     ta = toks.select(
         F.col("_vid").alias("id_a"), F.col("_vtok").alias("_tok_a"), F.col("_vn").alias("_na")
@@ -424,15 +480,54 @@ def simhash_signatures(
     return with_hashes.select(*keep_cols, F.expr(sig_sql).alias("simhash"))
 
 
+def simhash_signatures_portable(
+    df: DataFrame, text_col: str = "text", bits: int = 60, id_cols: list[str] | None = None
+) -> DataFrame:
+    """Portable SimHash: same one-aggregate vote-vector shape as
+    ``simhash_signatures``, but cross-engine deterministic.
+
+    Token hash is the polynomial hash (``poly_hash_expr``, 31 bits), so
+    per-signature-bit randomness comes from a fixed-seed rehash family
+    instead of the token hash's own bits: bit_i votes +1 iff
+    ``(x*a_i + b_i) mod p >= (p-1)/2`` — a balanced pairwise-independent
+    bit family over the token hash, which is exactly the property SimHash
+    needs. 60 bits (not 64) keeps the folded signature non-negative in
+    int64 so ``>>``/``&`` block extraction behaves identically in Spark
+    and DuckDB. The generated oracle twin reproduces every step.
+    """
+    p = POLY_P
+    half = (p - 1) // 2
+    coeffs = simhash_coeffs(bits)
+    a_arr = "array(" + ",".join(f"{a}L" for a, _ in coeffs) + ")"
+    b_arr = "array(" + ",".join(f"{b}L" for _, b in coeffs) + ")"
+    keep_cols = id_cols if id_cols else df.columns
+    hashes = F.transform(tokens_expr(text_col), poly_hash_expr)
+    with_hashes = spread(df).select(*keep_cols, hashes.alias("_hs"))
+    sig_sql = f"""
+    aggregate(
+      zip_with(
+        aggregate(_hs, array_repeat(0, {bits}),
+          (acc, x) -> zip_with(acc,
+            zip_with({a_arr}, {b_arr},
+              (a, b) -> CASE WHEN pmod(x * a + b, {p}L) >= {half}L THEN 1 ELSE -1 END),
+            (v, s) -> v + s)),
+        sequence(0, {bits - 1}), (v, i) -> struct(v, i)),
+      0L,
+      (acc, s) -> acc | CASE WHEN s.v > 0 THEN shiftleft(1L, s.i) ELSE 0L END
+    )"""
+    return with_hashes.select(*keep_cols, F.expr(sig_sql).alias("simhash"))
+
+
 def simhash_near_dup_pairs(
-    sig_df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+    sig_df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, bits: int = 64
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= k, using the standard
-    block-permutation trick: split the 64-bit signature into (k+1) blocks;
-    any pair within distance k agrees exactly on >=1 block -> join per block
-    on block equality, then verify true Hamming distance with bit_count."""
+    block-permutation trick: split the ``bits``-wide signature into (k+1)
+    blocks; any pair within distance k agrees exactly on >=1 block -> join
+    per block on block equality, then verify true Hamming distance with
+    bit_count."""
     nblocks = max_hamming + 1
-    width = 64 // nblocks
+    width = bits // nblocks
     blocks = sig_df.select(
         id_col,
         "simhash",

@@ -16,10 +16,33 @@ Scale notes (100 TB / billions of vectors):
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_similarity, dot_product, l2_norm
+
+
+@lru_cache(maxsize=64)
+def query_vector(
+    sf_dir: str, vec_id: int = 0, table: str = "embeddings", vec_col: str = "embedding"
+) -> tuple[float, ...]:
+    """Fetch ONE query vector as a search *parameter* — a driver-side
+    single-row parquet read (pyarrow, ~5ms), not a Spark job.
+
+    In production ANN serving the query vector arrives from the caller;
+    launching a distributed scan (+ scheduler round-trip, ~0.2-0.3s fixed
+    floor) to read 128 floats was the single biggest constant overhead in
+    the similarity queries (BENCH r1: separate `.head()` action before the
+    scoring job). The values are byte-identical to what Spark's collect
+    returns (same parquet float32 -> float64 widening), and the lru_cache
+    makes repeat queries free."""
+    import pyarrow.dataset as ds
+
+    d = ds.dataset(f"{sf_dir.rstrip('/')}/{table}.parquet")
+    t = d.to_table(filter=ds.field("vec_id") == vec_id, columns=[vec_col])
+    return tuple(float(x) for x in t.column(0)[0].as_py())
 
 
 def topk_cosine(

@@ -394,12 +394,42 @@ FROM lineitem GROUP BY l_returnflag
 
 
 def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL approximate distinct — engines use different sketches, so no
-    value oracle (rows-only); the exact twin is agg_count_distinct."""
+    """HLL approximate distinct under an accuracy-contract oracle.
+
+    Engines use different sketches, so the raw estimate can't hash-match
+    a DuckDB value. The graded output instead carries (a) the exact
+    distinct count (the anchor both engines agree on) and (b) the sketch's
+    accuracy claim — |approx - exact| <= 5% at rsd=0.01 — as a boolean the
+    oracle asserts as TRUE. HLL++ is deterministic for fixed data, so the
+    claim is a fixed fact of the dataset, not a flaky bound; rsd=0.01 puts
+    5% at ~5 sigma. The sketch path still runs end to end.
+
+    The two aggregates run as separate group-bys joined on the key:
+    combining a high-precision HLL with countDistinct in ONE agg trips
+    Spark's distinct-expand rewrite into merging dense 2^14-register
+    sketches per expanded row (measured 44s vs 2s at sf0.1)."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders")
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("_approx")
     )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders")
+    )
+    return exact.join(F.broadcast(approx), "l_returnflag").select(
+        "l_returnflag",
+        F.col("exact_orders").cast("bigint").alias("exact_orders"),
+        (
+            F.abs(F.col("_approx") - F.col("exact_orders")) <= 0.05 * F.col("exact_orders")
+        ).alias("approx_within_5pct"),
+    )
+
+
+_ORACLE_APPROX_CD = """
+SELECT l_returnflag,
+       count(DISTINCT l_orderkey) AS exact_orders,
+       TRUE AS approx_within_5pct
+FROM lineitem GROUP BY l_returnflag
+"""
 
 
 # ---- window frames --------------------------------------------------------
@@ -693,7 +723,9 @@ REGISTRY_EXT: dict[str, QuerySpec] = {
     "distinct_projection": QuerySpec(q_distinct_projection, _ORACLE_DISTINCT_PROJ, "§2.6"),
     "limit_offset_pagination": QuerySpec(q_limit_offset, _ORACLE_LIMIT_OFFSET, "§2.6 sort"),
     "percentiles_exact": QuerySpec(q_percentiles, _ORACLE_PERCENTILES, "§2.6 agg"),
-    "approx_count_distinct": QuerySpec(q_approx_count_distinct, None, "§2.6 agg approx"),
+    "approx_count_distinct": QuerySpec(
+        q_approx_count_distinct, _ORACLE_APPROX_CD, "§2.6 agg approx, accuracy-contract oracle"
+    ),
     "window_ntile": QuerySpec(q_window_ntile, _ORACLE_NTILE, "§2.6 window"),
     "window_first_last": QuerySpec(q_window_first_last, _ORACLE_FIRST_LAST, "§2.6 window"),
     "window_range_90d": QuerySpec(q_window_range_frame, _ORACLE_RANGE_FRAME, "§2.6 window"),

@@ -26,6 +26,7 @@ from .operators.similarity import (
     pq_refine_topk,
     pq_search_codes,
     pq_topk_adc,
+    query_vector,
 )
 from .registry import QuerySpec, _dsum, _dsum_sql, _t
 from .sources.datasource import read_manifest_parquet, register_manifest_parquet_sink
@@ -46,7 +47,8 @@ def q_similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors."""
     emb = _t(spark, sf_dir, "embeddings")
     cb = pq_codebook(emb, num_subspaces=8, num_codewords=16)
-    qv = [float(x) for x in emb.filter(F.col("vec_id") == 7).select("embedding").collect()[0][0]]
+    # parameter fetch, not a Spark job (see similarity.query_vector)
+    qv = list(query_vector(sf_dir, vec_id=7))
     return pq_topk_adc(emb, cb, qv, k=10)
 
 
@@ -96,7 +98,8 @@ def q_similarity_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle. Same codebook/query setup as similarity_pq_adc."""
     emb = _t(spark, sf_dir, "embeddings")
     cb = pq_codebook(emb, num_subspaces=8, num_codewords=16)
-    qv = [float(x) for x in emb.filter(F.col("vec_id") == 7).select("embedding").collect()[0][0]]
+    # parameter fetch, not a Spark job (see similarity.query_vector)
+    qv = list(query_vector(sf_dir, vec_id=7))
     return pq_refine_topk(emb, cb, qv, k=10, shortlist=50)
 
 
@@ -155,7 +158,8 @@ def q_similarity_pq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     ReadSchema)."""
     emb = _t(spark, sf_dir, "embeddings")
     cb = pq_codebook(emb, num_subspaces=8, num_codewords=16)
-    qv = [float(x) for x in emb.filter(F.col("vec_id") == 7).select("embedding").collect()[0][0]]
+    # parameter fetch, not a Spark job (see similarity.query_vector)
+    qv = list(query_vector(sf_dir, vec_id=7))
     codes_dir = tempfile.mkdtemp(prefix="pq_codes_") + "/codes"
     pq_encode(emb, cb).select("vec_id", "pq_codes").write.parquet(codes_dir)
     return pq_search_codes(spark.read.parquet(codes_dir), cb, qv, k=10)

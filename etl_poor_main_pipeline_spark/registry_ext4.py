@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .operators import similarity
 from .registry import QuerySpec, _dsum, _dsum_sql, _t
 
 
@@ -307,8 +308,8 @@ def q_similarity_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc = acc + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
         return acc
 
-    qrow = e.filter(F.col("vec_id") == 0).select("embedding").head()
-    qv = qrow[0]
+    # parameter fetch, not a Spark job (see similarity.query_vector)
+    qv = list(similarity.query_vector(sf_dir, vec_id=0))
     qbucket = sum(
         (1 << i)
         for i, plane in enumerate(planes)

@@ -173,14 +173,56 @@ FROM lineitem
 
 
 def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate percentiles (t-digest-style sketch) per group — the
-    sketch counterpart of percentiles_exact. Sketch merge order varies
-    with partitioning -> rows-only check; accuracy vs the exact
-    percentiles is asserted in unit tests."""
+    """Approximate percentiles (GK sketch) under an accuracy-contract
+    oracle.
+
+    The sketch returns an actual element per quantile whose *rank* is
+    within n/accuracy of the target rank — that rank guarantee is the
+    contract, and it's what the graded output asserts: for each
+    (group, q), ``rank_ok`` = target rank lies within
+    [count(< v) - tol, count(<= v) + tol], tol = n/1000 + 1. The oracle
+    pins the group's exact row count and asserts TRUE. The sketch value
+    itself can't hash-match across engines (merge-order dependent), but
+    the guarantee is deterministic for fixed data."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 1000).alias("approx_pcts")
+    approx = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 1000).alias("_pcts")
     )
+    qlits = F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+    qs = approx.select(
+        "l_returnflag", F.posexplode(F.col("_pcts")).alias("_i", "v")
+    ).select(
+        "l_returnflag", F.element_at(qlits, F.col("_i") + 1).alias("q"), "v"
+    )
+    ranks = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+    lt = (
+        li.join(qs, "l_returnflag")
+        .groupBy("l_returnflag", "q", "v")
+        .agg(
+            F.sum((F.col("l_extendedprice") < F.col("v")).cast("bigint")).alias("n_lt"),
+            F.sum((F.col("l_extendedprice") <= F.col("v")).cast("bigint")).alias("n_le"),
+        )
+    )
+    tol = F.col("n") / 1000.0 + 1.0
+    target = F.col("q") * F.col("n")
+    return (
+        lt.join(ranks, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "q",
+            F.col("n").cast("bigint").alias("n"),
+            ((F.col("n_lt") - tol <= target) & (target <= F.col("n_le") + tol)).alias(
+                "rank_ok"
+            ),
+        )
+    )
+
+
+_ORACLE_APPROX_PCT = """
+SELECT l_returnflag, q, count(*) AS n, TRUE AS rank_ok
+FROM lineitem CROSS JOIN (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q)
+GROUP BY l_returnflag, q
+"""
 
 
 REGISTRY_EXT5: dict[str, QuerySpec] = {
@@ -188,5 +230,7 @@ REGISTRY_EXT5: dict[str, QuerySpec] = {
     "tpch_q21_shape": QuerySpec(q_tpch_q21_shape, _ORACLE_Q21, "§2.6 subquery"),
     "tpch_q22_shape": QuerySpec(q_tpch_q22_shape, _ORACLE_Q22, "§2.6 subquery"),
     "explode_map_entries": QuerySpec(q_explode_map_entries, _ORACLE_EXPLODE_MAP, "§2.6 scalar"),
-    "approx_percentile_sketch": QuerySpec(q_approx_percentile, None, "§2.6 agg approx"),
+    "approx_percentile_sketch": QuerySpec(
+        q_approx_percentile, _ORACLE_APPROX_PCT, "§2.6 agg approx, accuracy-contract oracle"
+    ),
 }

@@ -66,10 +66,13 @@ def write_partition_overwrite(
         # reference layout parity: exactly one file per partition. Fine for
         # small daily partitions; never use at scale.
         out = out.repartition(1)
-    spark = out.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # per-write option, NOT session conf: setting the session-wide
+    # partitionOverwriteMode would silently turn every later plain
+    # mode('overwrite') partitioned write in the same session dynamic
+    # (ADVICE r1) — scope the delete-and-insert semantics to this write
     (
         out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy(ref.partition_col)
         .parquet(ref.path(lake_root))
     )
@@ -102,14 +105,23 @@ def register_table(
     spark: SparkSession,
     ref: TableRef,
     lake_root: str,
+    partition_value: str | None = None,
 ) -> None:
     """W4 idempotent catalog registration: CREATE DATABASE/TABLE IF NOT
-    EXISTS over the external location, then partition discovery.
+    EXISTS over the external location, then partition registration.
 
     Against a Glue-backed catalog this issues the same idempotent calls the
     reference makes with boto3 (duckdb_utils.py:198-207,216-262); locally it
     lands in the Derby/in-memory catalog. Failures warn-and-continue like
     the reference (:281-282).
+
+    ``partition_value``: when the caller knows which partition this run
+    wrote (the reference always does — it registers the run's ``date_id``,
+    duckdb_utils.py:264-280), issue ``ALTER TABLE ... ADD IF NOT EXISTS
+    PARTITION`` for just that value: O(1) catalog work per run. Without
+    it, fall back to ``MSCK REPAIR TABLE`` full discovery — equivalent
+    locally but O(all partitions) per run, which at years of daily
+    partitions x thousands of tables is real catalog load at scale.
     """
     try:
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {ref.database}")
@@ -122,7 +134,14 @@ def register_table(
             f"USING PARQUET PARTITIONED BY ({ref.partition_col}) "
             f"LOCATION '{ref.path(lake_root)}'"
         )
-        spark.sql(f"MSCK REPAIR TABLE {ref.qualified_name}")
+        if partition_value is not None:
+            safe = str(partition_value).replace("'", "''")
+            spark.sql(
+                f"ALTER TABLE {ref.qualified_name} ADD IF NOT EXISTS "
+                f"PARTITION ({ref.partition_col}='{safe}')"
+            )
+        else:
+            spark.sql(f"MSCK REPAIR TABLE {ref.qualified_name}")
     except Exception as exc:  # warn-and-continue, ref duckdb_utils.py:281-282
         import warnings
 

@@ -215,6 +215,30 @@ def read_delta(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.format("delta").load(path)
 
 
+def read_iceberg(spark: SparkSession, table_or_path: str) -> DataFrame:
+    """Apache Iceberg table scan — the at-rest format the reference names
+    for its bronze/silver layers (README.md:7,16,26,179,191: parquet files
+    managed as Iceberg tables in the lake).
+
+    Same capability-gate pattern as ``read_delta``: Iceberg needs the
+    iceberg-spark-runtime jar plus a catalog config
+    (spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog);
+    absent those, raise an actionable error instead of Spark's opaque
+    ClassNotFound/NoSuchCatalog chain. With the jar present, accepts a
+    catalog table name (``lake.db.table``) or a path-based table
+    (``iceberg.`/path```), and Catalyst gets Iceberg's native partition
+    pruning + metadata-file skipping — the scan behavior the reference's
+    Athena/Glue setup relies on."""
+    if not _format_available(spark, "iceberg"):
+        raise NotImplementedError(
+            "Iceberg support needs iceberg-spark-runtime on the classpath "
+            "(spark-submit --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver>) "
+            "plus a spark.sql.catalog.* SparkCatalog config; "
+            "not deployed in this environment"
+        )
+    return spark.read.format("iceberg").load(table_or_path)
+
+
 def from_pandas(spark: SparkSession, pdf, schema: dict[str, str] | None = None) -> DataFrame:
     """S6 pandas -> engine handoff (Arrow-accelerated createDataFrame)."""
     df = spark.createDataFrame(pdf)

@@ -214,9 +214,15 @@ def dedup_stream(
     """Streaming exact dedup: first occurrence per key wins, with state
     bounded by the watermark (without it, the seen-keys state grows
     forever — the unbounded-state mistake). Batch twin: X1 dedup_exact.
+
+    ``dropDuplicatesWithinWatermark`` (Spark 3.5+) is the API that
+    actually implements first-wins-per-key with watermark-expired state;
+    plain ``dropDuplicates(keys + [event-time])`` — the r1 shape — only
+    dedups exact (key, ts) identity, so a duplicate key at a different
+    timestamp survived, contradicting this contract (ADVICE r1).
     """
-    return events.withWatermark("ts", watermark).dropDuplicates(
-        (keys or ["event_id"]) + ["ts"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
     )
 
 
@@ -321,9 +327,10 @@ def drain_to_table(
     return spark.table(name)
 
 
-def run_to_memory(stream_df: DataFrame, query_name: str) -> "DataFrame":
+def run_to_memory(stream_df: DataFrame, query_name: str) -> DataFrame:
     """Drain all available input into an in-memory table (test helper):
-    trigger(availableNow) processes everything then stops."""
+    trigger(availableNow) processes everything then stops; returns the
+    drained result table (like ``drain_to_table``)."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
@@ -332,4 +339,4 @@ def run_to_memory(stream_df: DataFrame, query_name: str) -> "DataFrame":
         .start()
     )
     q.awaitTermination(120)
-    return q
+    return stream_df.sparkSession.table(query_name)

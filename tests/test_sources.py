@@ -89,3 +89,7 @@ def test_avro_delta_capability_gate(spark):
         read_avro(spark, "/tmp/nonexistent.avro")
     with pytest.raises(NotImplementedError, match="delta-spark"):
         read_delta(spark, "/tmp/nonexistent_delta")
+    from etl_poor_main_pipeline_spark.sources.read import read_iceberg
+
+    with pytest.raises(NotImplementedError, match="iceberg-spark-runtime"):
+        read_iceberg(spark, "lake.db.events")

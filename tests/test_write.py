@@ -84,6 +84,24 @@ def test_register_table_idempotent(spark, lake):
     spark.sql(f"DROP TABLE IF EXISTS {T.qualified_name}")
 
 
+def test_register_table_add_partition_o1(spark, lake):
+    """Per-run ALTER TABLE ADD IF NOT EXISTS PARTITION (the reference's
+    duckdb_utils.py:264-280 shape, O(1) per run): the new partition must
+    be queryable WITHOUT a full MSCK discovery pass, and re-registering
+    the same partition must be a no-op."""
+    write_partition_overwrite(_mini(spark, "2026-01-01"), T, lake)
+    register_table(spark, T, lake, partition_value="2026-01-01")
+    assert spark.sql(f"SELECT count(*) c FROM {T.qualified_name}").head().c == 3
+    # a second day's write registers only its own partition
+    write_partition_overwrite(_mini(spark, "2026-01-02", n=2), T, lake)
+    register_table(spark, T, lake, partition_value="2026-01-02")
+    register_table(spark, T, lake, partition_value="2026-01-02")  # idempotent
+    parts = [r[0] for r in spark.sql(f"SHOW PARTITIONS {T.qualified_name}").collect()]
+    assert sorted(parts) == ["date_id=2026-01-01", "date_id=2026-01-02"]
+    assert spark.sql(f"SELECT count(*) c FROM {T.qualified_name}").head().c == 5
+    spark.sql(f"DROP TABLE IF EXISTS {T.qualified_name}")
+
+
 def test_write_observe_quality_metrics(spark, tmp_path):
     """observe() metrics are collected during the write itself — row and
     per-column null counts come back without a second scan."""

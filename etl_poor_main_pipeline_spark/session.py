@@ -39,6 +39,11 @@ RUNTIME_CONFS: dict[str, str] = {
     # events.parquet carries TIMESTAMP(NANOS); read as long ns-since-epoch
     # (converted back to timestamp by sources.read.read_events).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # corpus timestamps are parquet µs with isAdjustedToUTC=false; read them
+    # as TIMESTAMP (interpreted in the UTC session zone — the same wall-clock
+    # DuckDB sees) instead of TIMESTAMP_NTZ, which half the timestamp
+    # function surface (unix_micros, window(), watermarks) rejects
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # deterministic float formatting when casting double->string
     "spark.sql.legacy.allowNegativeScaleOfDecimal": "false",
 }

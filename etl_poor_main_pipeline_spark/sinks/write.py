@@ -146,3 +146,59 @@ def register_table(
         import warnings
 
         warnings.warn(f"catalog registration failed for {ref.qualified_name}: {exc}")
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zcol: str,
+    num_files: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order layout write: range-partition on a precomputed z-value
+    column (``registry_ext19._z_expr`` builds the Morton interleave as a
+    portable SQL expression) and sort within partitions, so every output
+    file covers a tight hyper-rectangle in ALL interleaved dimensions —
+    footer min/max then prunes most files for a predicate on ANY of them.
+    One range exchange (sampled boundaries, skew-tolerant); the sort is
+    per-partition, never global."""
+    (
+        df.repartitionByRange(num_files, zcol)
+        .sortWithinPartitions(zcol)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction (the maintenance half of W5): rewrite a
+    parquet directory into ceil(total_bytes / target) files and swap
+    atomically (write to a sibling temp dir, then rename). Streaming and
+    per-run appends leave thousands of KB-sized files; at 100 TB the
+    NameNode/listing and per-file open costs dominate reads until
+    compaction runs. Returns the new file count.
+
+    Local-FS rename semantics; on object stores the swap step is the
+    table format's job (Iceberg/Delta rewrite actions) — this utility is
+    the layout math plus the idempotent swap protocol."""
+    import math
+    import os
+    import shutil
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    tmp = path.rstrip("/") + "__compact_tmp"
+    spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "__compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_files

@@ -252,3 +252,34 @@ def from_pandas(spark: SparkSession, pdf, schema: dict[str, str] | None = None) 
 
         df = enforce_schema(df, schema)
     return df
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Whole-file binary ingest (`binaryFile` source): one row per file
+    with (path, modificationTime, length, content BINARY) — the ingestion
+    edge for the multimodal tier (operators/multimodal.py consumes the
+    content column as its opaque payload). Column pruning applies: a
+    metadata-only query (e.g. count/size audit) never reads `content`,
+    so footer-level listing cost, not data cost."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: dict[str, str] | T.StructType | None = None,
+) -> DataFrame:
+    """XML scan (native in Spark 4 — no external spark-xml jar): one row
+    per ``row_tag`` element. Schema is optional but recommended: XML
+    inference is a full extra pass, same stance as CSV."""
+    reader = spark.read.option("rowTag", row_tag)
+    if schema is not None:
+        st = schema if isinstance(schema, T.StructType) else schema_from_dict(schema)
+        reader = reader.schema(st)
+    return reader.xml(path)

@@ -93,3 +93,34 @@ def test_avro_delta_capability_gate(spark):
 
     with pytest.raises(NotImplementedError, match="iceberg-spark-runtime"):
         read_iceberg(spark, "lake.db.events")
+
+
+def test_binary_files_source(spark, tmp_path):
+    from etl_poor_main_pipeline_spark.sources.read import read_binary_files
+
+    (tmp_path / "a.bin").write_bytes(b"\x00\x01payload-a")
+    (tmp_path / "b.bin").write_bytes(b"payload-b")
+    (tmp_path / "skip.txt").write_text("not binary payload")
+    df = read_binary_files(spark, str(tmp_path), glob="*.bin")
+    rows = {r.path.rsplit("/", 1)[-1]: bytes(r.content) for r in df.collect()}
+    assert set(rows) == {"a.bin", "b.bin"}
+    assert rows["a.bin"] == b"\x00\x01payload-a"
+    # metadata-only projection never deserializes content (column pruning)
+    assert read_binary_files(spark, str(tmp_path), glob="*.bin").select(
+        "length"
+    ).count() == 2
+
+
+def test_xml_source_native(spark, tmp_path):
+    from etl_poor_main_pipeline_spark.sources.read import read_xml
+
+    p = tmp_path / "cities.xml"
+    p.write_text(
+        "<rows>"
+        "<row><city>NYC</city><temp>21.5</temp></row>"
+        "<row><city>LA</city><temp>28.0</temp></row>"
+        "</rows>"
+    )
+    df = read_xml(spark, str(p), row_tag="row", schema={"city": "VARCHAR", "temp": "DOUBLE"})
+    rows = {r.city: r.temp for r in df.collect()}
+    assert rows == {"NYC": 21.5, "LA": 28.0}

@@ -40,3 +40,15 @@ def test_oracle_parity_subset(spark, name):
     odf = con.execute(ent.oracle_sql()[name]).fetchdf()
     assert len(sdf) == len(odf)
     assert sorted(sdf.columns) == sorted(odf.columns)
+
+
+def test_readme_counts_match_registry():
+    """README headline counts lagged the registry twice (r1 verdict #5);
+    pin them mechanically."""
+    from etl_poor_main_pipeline_spark.registry import oracle_sql, queries
+
+    n_q, n_o = len(queries()), len(oracle_sql())
+    readme = open("README.md").read()
+    assert f"{n_q} registered queries" in readme, f"README must say '{n_q} registered queries'"
+    assert f"all {n_o} with value-hash oracles" in readme
+    assert f"{n_q}/{n_o} vs DuckDB oracle" in readme

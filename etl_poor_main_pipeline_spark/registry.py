@@ -1500,6 +1500,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext18 import REGISTRY_EXT18
     from .registry_ext19 import REGISTRY_EXT19
     from .registry_ext20 import REGISTRY_EXT20
+    from .registry_ext21 import REGISTRY_EXT21
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1522,6 +1523,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT18)
     merged.update(REGISTRY_EXT19)
     merged.update(REGISTRY_EXT20)
+    merged.update(REGISTRY_EXT21)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

@@ -104,9 +104,11 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] X6 BM25 ranking of documents for a fixed term query
     (Robertson/Sparck Jones weighting, the lexical-retrieval baseline).
     Corpus stats (N, avgdl) are one tiny aggregate; df comes from one
-    term-level aggregate over distinct (doc, term) pairs; scoring is a
-    broadcast-joined projection over the per-(doc, term) tf rows. Output:
-    top 15 docs by micro-rounded score with doc_id tiebreak."""
+    term-level aggregate over distinct (doc, term) pairs; scoring joins the
+    per-(doc, term) tf rows with doc lengths on the shared doc key (shuffled
+    — dl is corpus-sized) plus broadcasts of the genuinely tiny df/stats
+    frames. Output: top 15 docs by micro-rounded score with doc_id
+    tiebreak."""
     d = _t(spark, sf_dir, "documents")
     toks = spread(d).select(
         "doc_id",
@@ -129,9 +131,12 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
         + F.lit(1.0)
     )
+    # df_ (one row per query term) and stats (1 row) are genuinely tiny —
+    # broadcast them. dl is per-document (corpus-sized at 100 TB): join it
+    # shuffled; tf and dl are both doc-keyed so they co-partition.
     contrib = (
         tf.join(F.broadcast(df_), "term")
-        .join(F.broadcast(dl), "doc_id")
+        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
@@ -143,12 +148,18 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + _BM25_K1
                     * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
                 )
-            ).alias("c"),
+            ).cast("decimal(38,16)").alias("c"),
         )
     )
+    # decimal sum: shuffle reduce order cannot perturb the last ulp and flip
+    # score_micro / the top-15 tie order (same _dsum stance as pagerank_docs)
     return (
         contrib.groupBy("doc_id")
-        .agg(F.floor(F.sum("c") * 1e6 + F.lit(0.5)).cast("bigint").alias("score_micro"))
+        .agg(
+            F.floor(F.sum("c").cast("double") * 1e6 + F.lit(0.5))
+            .cast("bigint")
+            .alias("score_micro")
+        )
         .orderBy(F.desc("score_micro"), "doc_id")
         .limit(15)
     )
@@ -173,11 +184,11 @@ WITH toks AS (
   SELECT term, cast(count(*) AS double) AS df FROM tf GROUP BY term
 )
 SELECT tf.doc_id,
-       cast(floor(sum(
+       cast(floor(cast(sum(cast(
          ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
          * (tf.tf * ({_BM25_K1} + 1))
          / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
-       ) * 1e6 + 0.5) AS bigint) AS score_micro
+       AS decimal(38,16))) AS double) * 1e6 + 0.5) AS bigint) AS score_micro
 FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
 GROUP BY tf.doc_id
 ORDER BY score_micro DESC, tf.doc_id

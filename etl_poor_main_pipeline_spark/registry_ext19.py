@@ -7,15 +7,18 @@ makes multi-dimensional data skipping work at 100 TB.
 Scale stances:
 - PageRank: each iteration is one shuffled join (edges x ranks on src)
   plus one aggregate on dst — the standard distributed formulation.
-  Ranks are localCheckpoint'd per iteration: without lineage truncation
-  the plan doubles per iteration and Catalyst re-optimization goes
+  Ranks are checkpointed per iteration: without lineage truncation the
+  plan doubles per iteration and Catalyst re-optimization goes
   superlinear by iteration ~8 (the classic iterative-DataFrame trap).
+  ``localCheckpoint()`` by default (test SFs); pass ``checkpoint_dir``
+  for a reliable ``df.checkpoint()`` so executor loss doesn't force a
+  full recompute — the 100 TB posture.
   Contribution sums run through decimal so the shuffle's reduce order
   can't perturb the fixed point (registry._dsum stance); both engines
   cast the *same* doubles to the *same* decimals, so the iteration stays
   bit-identical across engines, not merely close.
-- Z-order: the z-value is pure integer bit-interleaving (16 bits per
-  dimension) — a projection, no exchange. The layout write path is
+- Z-order: the z-value is pure integer bit-interleaving (21 bits per
+  dimension, int64-safe) — a projection, no exchange. The layout write path is
   ``repartitionByRange(z)`` + ``sortWithinPartitions(z)`` so every file
   covers a tight hyper-rectangle in BOTH dimensions; the graded query
   reports per-z-range min/max spans of each raw dimension, which is
@@ -49,27 +52,42 @@ _EDGE_SQL = r"""
 """
 
 
-def q_pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_pagerank_docs(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
     """[EXT] X9 PageRank (damping 0.85, 5 iterations) over the document
     near-dup graph: nodes = all documents, undirected edges = token-set
     Jaccard >= 0.8 pairs (the dedup_jaccard_pairs definition). Dangling
     ranks are not redistributed (documented choice, mirrored by the
     oracle). Output is every node's 1e9-rounded rank — near-dup cluster
     hubs surface with rank ≫ 0.15/N, singletons sit at exactly 0.15/N
-    after iteration 1."""
+    after iteration 1.
+
+    Checkpoint tradeoff: with ``checkpoint_dir=None`` (test SFs) lineage
+    is truncated with ``localCheckpoint()`` — fast, but blocks are pinned
+    to executor memory/disk, so a lost executor forces recomputing the
+    whole Jaccard pipeline. At real scale pass a reliable dir (HDFS/object
+    store): ``sparkContext.setCheckpointDir`` + ``df.checkpoint()`` writes
+    the edges/ranks to fault-tolerant storage, so executor loss costs one
+    re-read, not a recompute — that is the 100 TB posture."""
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
+
     d = _t(spark, sf_dir, "documents")
     pairs = dedup.jaccard_token_sets(
         d, threshold=0.8, block_cols=["lang"], length_window=16
     ).select("id_a", "id_b")
     # one materialization: edges feed 5 iterations AND the degree agg;
     # recomputing the shingle/intersection pipeline 6x would dominate
-    edges = (
+    edges = _ckpt(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .localCheckpoint()
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("deg"))
-    edges_deg = edges.join(deg, "src").localCheckpoint()
+    edges_deg = _ckpt(edges.join(deg, "src"))
 
     n = d.count()  # one scalar — the per-node teleport term needs it
     base = 0.15 / float(n)
@@ -94,8 +112,8 @@ def q_pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.lit(_PR_DAMP) * F.coalesce(F.col("s"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint()  # truncate lineage: plan growth is the trap
         )
+        ranks = _ckpt(ranks)  # truncate lineage: plan growth is the trap
     return ranks.select(
         "doc_id",
         F.floor(F.col("rank") * 1e9 + F.lit(0.5)).cast("bigint").alias("rank_nano"),
@@ -148,13 +166,19 @@ ORDER BY doc_id
 # Z-order layout (S/W [EXT] data layout)
 # --------------------------------------------------------------------------
 
-_Z_BITS = 16
+# 21 bits per dimension (42-bit z-value, int64-safe at 2 dims). 16 bits
+# silently aliased custkeys above 65535 (TPC-H SF ≳ 0.45), degrading the
+# "tight hyper-rectangle in BOTH dimensions" skipping property; 21 bits
+# covers keys to ~2.1M (SF ≈ 14). Beyond that, rank/normalize the
+# dimension into the box before interleaving.
+_Z_BITS = 21
 
 
 def _z_expr(x: str, y: str) -> str:
-    """Portable SQL for the 2-D Morton code: interleave the low 16 bits
+    """Portable SQL for the 2-D Morton code: interleave the low 21 bits
     of integer expressions ``x`` (even positions) and ``y`` (odd). Pure
-    +/&/shift arithmetic — identical text runs on Spark SQL and DuckDB."""
+    +/&/shift arithmetic — identical text runs on Spark SQL and DuckDB.
+    Values above 2^21-1 alias (see _Z_BITS note)."""
     terms = []
     for k in range(_Z_BITS):
         terms.append(f"((({x} >> {k}) & 1) << {2 * k})")

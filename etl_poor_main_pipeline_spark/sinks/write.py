@@ -184,10 +184,28 @@ def compact_parquet_dir(
 
     Local-FS rename semantics; on object stores the swap step is the
     table format's job (Iceberg/Delta rewrite actions) — this utility is
-    the layout math plus the idempotent swap protocol."""
+    the layout math plus the idempotent swap protocol. Stale
+    __compact_tmp/__compact_old dirs from a prior crashed run are removed
+    up front so a rerun always succeeds. The swap itself is two renames,
+    so a crash in the window between them leaves the dataset only at
+    __compact_old (data is never lost, but readers see a missing path
+    until rerun or manual rename-back) — a single-rename atomic swap
+    needs renameat2(RENAME_EXCHANGE)/object-store commit, which is the
+    table format's job."""
     import math
     import os
     import shutil
+
+    tmp = path.rstrip("/") + "__compact_tmp"
+    old = path.rstrip("/") + "__compact_old"
+    # idempotence: clear leftovers from a prior failed run before writing.
+    # A leftover __compact_old means the prior run crashed mid-swap with the
+    # dataset path missing — restore it first rather than deleting data.
+    if os.path.exists(old) and not os.path.exists(path):
+        os.rename(old, path)
+    for leftover in (tmp, old):
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
 
     total = 0
     for root, _dirs, files in os.walk(path):
@@ -195,9 +213,7 @@ def compact_parquet_dir(
             if f.endswith(".parquet"):
                 total += os.path.getsize(os.path.join(root, f))
     n_files = max(1, math.ceil(total / target_file_bytes))
-    tmp = path.rstrip("/") + "__compact_tmp"
     spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + "__compact_old"
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

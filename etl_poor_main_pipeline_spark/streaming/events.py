@@ -271,8 +271,22 @@ def read_event_stream_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         import pyarrow.parquet as pq
         import pyarrow as pa
+        import os
 
-        ts_is_nanos = pq.read_schema(path).field("ts").type == pa.timestamp("ns")
+        # directory-shaped datasets: probe the first part file's footer
+        # (pq.read_schema on a directory raises, which previously fell
+        # silently into the micros branch)
+        probe = path
+        if os.path.isdir(path):
+            parts = sorted(
+                f for f in os.listdir(path) if f.endswith(".parquet")
+            )
+            if parts:
+                probe = os.path.join(path, parts[0])
+        t = pq.read_schema(probe).field("ts").type
+        # match on the unit, not exact type equality: timestamp('ns',
+        # tz='UTC') is still NANOS on disk and must take the nanos branch
+        ts_is_nanos = pa.types.is_timestamp(t) and t.unit == "ns"
     except Exception:
         pass
     schema = T.StructType(

@@ -24,6 +24,23 @@ def test_pagerank_conserves_and_ranks_hubs(spark):
     assert all(r.rank_nano >= base_nano - 1 for r in rows)
 
 
+def test_pagerank_reliable_checkpoint_matches_local(spark, tmp_path):
+    """checkpoint_dir engages df.checkpoint() against fault-tolerant
+    storage (the 100 TB posture) and must be bit-identical to the
+    localCheckpoint default."""
+    import os
+
+    ckpt = str(tmp_path / "ckpt")
+    local = {r.doc_id: r.rank_nano for r in q_pagerank_docs(spark, SF).collect()}
+    reliable = {
+        r.doc_id: r.rank_nano
+        for r in q_pagerank_docs(spark, SF, checkpoint_dir=ckpt).collect()
+    }
+    assert reliable == local
+    # the reliable path actually wrote checkpoint data to the dir
+    assert any(os.scandir(ckpt))
+
+
 def test_zorder_morton_bit_exact(spark):
     # z(3, 5): x=0b011 -> even positions 0,2; y=0b101 -> odd positions 1,5
     # z = 1 + 4 (x bits) + 2 + 32 (y bits) = 39

@@ -68,3 +68,24 @@ def test_compact_parquet_dir_preserves_rows(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 10_000
     assert back.agg(F.sum("id")).collect()[0][0] == sum(range(10_000))
+
+
+def test_compact_parquet_dir_recovers_from_stale_leftovers(spark, tmp_path):
+    """A prior crashed run can leave __compact_tmp (pre-swap crash) or
+    __compact_old with the dataset path missing (mid-swap crash); a rerun
+    must clean up / restore and still compact."""
+    path = str(tmp_path / "frag")
+    spark.range(1_000).repartition(8).write.parquet(path)
+
+    # pre-swap crash: stale tmp dir exists alongside the dataset
+    os.makedirs(path + "__compact_tmp/junk")
+    compact_parquet_dir(spark, path, target_file_bytes=1 << 30)
+    assert not os.path.exists(path + "__compact_tmp")
+    assert spark.read.parquet(path).count() == 1_000
+
+    # mid-swap crash: dataset renamed to __compact_old, path missing
+    os.rename(path, path + "__compact_old")
+    compact_parquet_dir(spark, path, target_file_bytes=1 << 30)
+    assert os.path.exists(path)
+    assert not os.path.exists(path + "__compact_old")
+    assert spark.read.parquet(path).count() == 1_000

@@ -181,6 +181,51 @@ def test_drained_stream_equals_batch(spark):
     assert got == want and len(got) > 0
 
 
+def test_stream_reader_probes_tz_nanos_and_directory_corpora(spark, tmp_path):
+    """The footer probe must detect NANOS by unit, not exact type equality:
+    timestamp('ns', tz='UTC') is still NANOS on disk, and a directory-shaped
+    events.parquet must probe its first part file rather than silently
+    falling into the micros branch (ADVICE r2)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_poor_main_pipeline_spark.streaming.events import (
+        drain_to_table,
+        read_event_stream_parquet,
+    )
+
+    sf = str(tmp_path / "sfnanos")
+    # directory-shaped events.parquet with a tz-adjusted nanos ts column
+    part_dir = f"{sf}/events.parquet"
+    import os
+
+    os.makedirs(part_dir)
+    ns = [1_700_000_000_000_000_000 + i * 1_000_000_000 for i in range(4)]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "ts": pa.array(ns, pa.timestamp("ns", tz="UTC")),
+            "user_id": pa.array([10, 10, 11, 11], pa.int64()),
+            "event_type": pa.array(["a", "a", "b", "b"]),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0]),
+            "props": pa.array(["{}"] * 4),
+        }
+    )
+    pq.write_table(tbl, f"{part_dir}/part-0.parquet")
+
+    ev = read_event_stream_parquet(spark, sf)
+    drained = drain_to_table(ev.select("event_id", "ts"), "append")
+    rows = {r.event_id: r.ts for r in drained.collect()}
+    assert len(rows) == 4
+    # nanos branch engaged: values are true µs-precision timestamps, one
+    # second apart (the micros mis-branch would fail the stream read or
+    # produce garbage epochs)
+    import datetime
+
+    assert rows[2] - rows[1] == datetime.timedelta(seconds=1)
+    assert rows[1].year == 2023
+
+
 def test_tws_sessionizer_capability_gate(spark):
     """transformWithStateInPandas needs protobuf + RocksDB state store;
     absent deps must surface as a clear capability error (and with deps

@@ -1,11 +1,15 @@
 """Multimodal columns ([EXT] X5, SURVEY §2.7): binary payloads with typed
 metadata as first-class columns, processed by Arrow-batched pandas UDFs.
 
-The image/audio decode libraries are not in this container, so the decode
-kernels are STUBS (deterministic fakes clearly marked), but the Spark-side
-plumbing is real and tested: BinaryType columns, mapInPandas batch shape,
-metadata schemas, and the partitioning contract (payloads stay with their
-partition; only metadata shuffles).
+Decode kernels are optional-dep gated (same pattern as the Avro/Delta/
+Iceberg format gates in sources/read.py): where Pillow is importable the
+image decode/resize kernels are REAL (`Image.open` on the payload bytes);
+where it is not — this container — they fall back to clearly-marked
+deterministic STUBS. Either way the Spark-side plumbing is identical and
+tested: BinaryType columns, mapInPandas batch shape, metadata schemas,
+and the partitioning contract (payloads stay with their partition; only
+metadata shuffles). Video demux (pyav/ffmpeg) stays stub-only — no
+gateable pure-python decoder exists.
 
 At 100 TB: binary payloads are the dominant bytes — the design keeps them
 out of every shuffle (all grouping/joining happens on extracted metadata),
@@ -20,6 +24,19 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+def _pil():
+    """Import gate for the real image kernels. Returns the PIL.Image
+    module or None; callers choose real-vs-stub per batch on the WORKER
+    (local mode shares the env, cluster images may differ — the gate
+    must run where the kernel runs)."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -46,10 +63,23 @@ def text_to_binary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 
 def _fake_decode_image(payload: bytes) -> tuple[int, int, str]:
     """STUB decode kernel. Deterministic fake: derives (width, height,
-    format) from payload bytes. Replace with PIL/opencv in a real cluster
-    image — the calling plumbing does not change."""
+    format) from payload bytes. Used only when Pillow is absent (see
+    _pil) — the calling plumbing is identical either way."""
     h = sum(payload[:16]) if payload else 0
     return (64 + h % 64, 64 + (h // 7) % 64, "fake")
+
+
+def _decode_image(payload: bytes, image_mod) -> tuple[int, int, str]:
+    """Real decode kernel (Pillow path): header-only open — Pillow reads
+    size/format lazily without decoding pixel data, so this is cheap even
+    for large payloads. Non-image bytes degrade to the stub per row."""
+    import io
+
+    try:
+        with image_mod.open(io.BytesIO(payload)) as im:
+            return (im.width, im.height, (im.format or "unknown").lower())
+    except Exception:
+        return _fake_decode_image(payload)
 
 
 def extract_media_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
@@ -57,7 +87,8 @@ def extract_media_features(df: DataFrame, payload_col: str = "payload") -> DataF
 
     The UDF sees pandas Series of bytes; per-batch vectorized work, no
     per-row py4j round trips. Output carries metadata only — payloads are
-    dropped before any downstream shuffle.
+    dropped before any downstream shuffle. Decode is real (Pillow) where
+    the lib exists on the worker, stub otherwise.
     """
     import pandas as pd
 
@@ -72,8 +103,13 @@ def extract_media_features(df: DataFrame, payload_col: str = "payload") -> DataF
     )
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        image_mod = _pil()  # gate runs on the worker, where the kernel runs
         for pdf in batches:
-            feats = [_fake_decode_image(p if p is not None else b"") for p in pdf[payload_col]]
+            feats = [
+                _decode_image(p, image_mod) if image_mod is not None and p
+                else _fake_decode_image(p if p is not None else b"")
+                for p in pdf[payload_col]
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -143,12 +179,12 @@ def resize_images(
     width: int = 224,
     height: int = 224,
 ) -> DataFrame:
-    """Image resize over Arrow batches (mapInPandas). The decode/re-encode
-    kernel is a STUB (no image libs in this container): it passes the
-    payload through and stamps the target dimensions, so the Spark-side
-    contract — binary in, binary out, metadata typed, payload never wider
-    than one Arrow batch — is real and tested; swap `_resize_kernel` for a
-    PIL/opencv call when the libs exist.
+    """Image resize over Arrow batches (mapInPandas). Pillow-gated: where
+    the lib exists on the worker the kernel really decodes, resizes to
+    (width, height), and re-encodes PNG; otherwise a deterministic
+    passthrough stub stamps the target dimensions. Either way the
+    Spark-side contract — binary in, binary out, metadata typed, payload
+    never wider than one Arrow batch — is identical and tested.
     """
     import pandas as pd
 
@@ -161,12 +197,22 @@ def resize_images(
         ]
     )
 
-    def _resize_kernel(payload: bytes) -> bytes:
-        # STUB: deterministic passthrough. Real kernel:
-        # Image.open(BytesIO(payload)).resize((width, height)) -> bytes
-        return payload
-
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        image_mod = _pil()  # worker-side gate
+
+        def _resize_kernel(payload: bytes) -> bytes:
+            if image_mod is None or not payload:
+                return payload  # STUB: deterministic passthrough
+            try:
+                with image_mod.open(io.BytesIO(payload)) as im:
+                    buf = io.BytesIO()
+                    im.resize((width, height)).save(buf, format="PNG")
+                    return buf.getvalue()
+            except Exception:
+                return payload  # non-image bytes pass through unchanged
+
         for pdf in batches:
             yield pd.DataFrame(
                 {

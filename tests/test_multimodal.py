@@ -1,10 +1,14 @@
 import pytest
 
 from etl_poor_main_pipeline_spark.operators.multimodal import (
+    _decode_image,
+    _pil,
     extract_media_features,
     sample_frames,
     text_to_binary,
 )
+
+HAS_PIL = _pil() is not None
 
 
 def test_text_to_binary_roundtrip(spark):
@@ -63,3 +67,72 @@ def test_resize_stub_contract(spark):
     assert len(rows) == 20
     assert all(r.width == 64 and r.height == 48 for r in rows)
     assert all(isinstance(r.payload, (bytes, bytearray)) for r in rows)
+
+
+def test_decode_image_real_branch_via_injected_module():
+    """The real-kernel branch of _decode_image is exercised without
+    Pillow by injecting a module-shaped fake (same open() contract), so
+    the gate wiring is tested in every environment."""
+
+    class _Im:
+        width, height, format = 320, 200, "PNG"
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    class _FakeImageMod:
+        @staticmethod
+        def open(fh):
+            if fh.read(4) != b"\x89PNG":
+                raise ValueError("not an image")
+            return _Im()
+
+    assert _decode_image(b"\x89PNG....", _FakeImageMod) == (320, 200, "png")
+    # undecodable bytes degrade to the deterministic stub, not an error
+    w, h, fmt = _decode_image(b"plain text", _FakeImageMod)
+    assert fmt == "fake" and 64 <= w < 128 and 64 <= h < 128
+
+
+@pytest.mark.skipif(not HAS_PIL, reason="Pillow not installed (gate: stub path)")
+def test_pillow_kernels_decode_and_resize_real_images(spark):
+    """Where Pillow exists the kernels are real: a generated PNG decodes
+    to its true dimensions/format and resize re-encodes to the target."""
+    import io
+
+    from pyspark.sql import types as T
+
+    from etl_poor_main_pipeline_spark.operators.multimodal import resize_images
+
+    Image = _pil()
+    buf = io.BytesIO()
+    Image.new("RGB", (32, 16), (250, 10, 10)).save(buf, format="PNG")
+    png = buf.getvalue()
+    schema = T.StructType(
+        [T.StructField("media_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    df = spark.createDataFrame([(1, png)], schema)
+    feat = extract_media_features(df).head()
+    assert (feat.width, feat.height, feat.fmt) == (32, 16, "png")
+    resized = resize_images(df, width=8, height=4).head()
+    with Image.open(io.BytesIO(bytes(resized.payload))) as im:
+        assert (im.width, im.height) == (8, 4)
+
+
+@pytest.mark.skipif(HAS_PIL, reason="Pillow installed (real kernels active)")
+def test_gate_falls_back_to_stub_without_pillow(spark):
+    """Without Pillow a real PNG header still goes through the stub —
+    deterministic fake dims, 'fake' format, payload passthrough."""
+    from pyspark.sql import types as T
+
+    from etl_poor_main_pipeline_spark.operators.multimodal import resize_images
+
+    png_ish = b"\x89PNG\r\n\x1a\n" + bytes(range(64))
+    schema = T.StructType(
+        [T.StructField("media_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    df = spark.createDataFrame([(1, png_ish)], schema)
+    assert extract_media_features(df).head().fmt == "fake"
+    assert bytes(resize_images(df).head().payload) == png_ish

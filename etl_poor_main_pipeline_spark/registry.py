@@ -1564,14 +1564,14 @@ _SWEEP_PRIORITY = [
     "topk_order_limit",
     "set_intersect",
     "string_functions",
-    "date_functions",
-    "math_functions",
     "sessionization_gap30m",
-    # dedup tier (X1/X2) incl. the oracle-paired approximate paths
+    # dedup tier (X1/X2) incl. the oracle-paired approximate paths, plus
+    # the wave-20 iterative-graph head over the same near-dup graph
     "dedup_exact",
     "dedup_jaccard_pairs",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "pagerank_docs",
     # sketch tier (accuracy-contract oracles)
     "approx_count_distinct",
     "approx_percentile_sketch",
@@ -1581,8 +1581,9 @@ _SWEEP_PRIORITY = [
     "similarity_ivf_topk",
     "similarity_pq_adc",
     "similarity_self_join",
-    # text tier (X6/X7)
+    # text + retrieval tier (X6/X7; bm25 is the wave-19 retrieval head)
     "text_top_terms",
+    "bm25_topk",
     "text_tf_idf",
     "text_lang_id",
     "text_quality_score",
@@ -1597,6 +1598,8 @@ _SWEEP_PRIORITY = [
     "streaming_stream_join",
     "stream_sink_manifest",
     # next block: remaining family heads a >50-budget grader reaches first
+    "date_functions",
+    "math_functions",
     "dedup_collapse_components",
     "event_funnel",
     "scd2_dimension_update",

@@ -1517,6 +1517,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext19 import REGISTRY_EXT19
     from .registry_ext20 import REGISTRY_EXT20
     from .registry_ext21 import REGISTRY_EXT21
+    from .registry_ext22 import REGISTRY_EXT22
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1540,6 +1541,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT19)
     merged.update(REGISTRY_EXT20)
     merged.update(REGISTRY_EXT21)
+    merged.update(REGISTRY_EXT22)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

@@ -51,20 +51,24 @@ def rewrite(text: str, n_q: int, n_o: int, n_t: int) -> str:
 def main() -> int:
     check = "--check" in sys.argv
     n_q, n_o, n_t = live_counts()
-    readme = REPO / "README.md"
-    old = readme.read_text()
-    new = rewrite(old, n_q, n_o, n_t)
-    if check:
+    stale = []
+    for name in ("README.md", "MIGRATION.md"):
+        f = REPO / name
+        if not f.exists():
+            continue
+        old = f.read_text()
+        new = rewrite(old, n_q, n_o, n_t)
+        new = re.sub(r"`queries\(\)` — \d+ entries", f"`queries()` — {n_q} entries", new)
         if old != new:
-            print("README.md counts are stale; run python tools/sync_counts.py")
-            return 1
-        print(f"README.md in sync: {n_q} queries, {n_o} oracles, {n_t} tests")
-        return 0
-    if old != new:
-        readme.write_text(new)
-        print(f"README.md rewritten: {n_q} queries, {n_o} oracles, {n_t} tests")
-    else:
-        print(f"README.md already in sync: {n_q} queries, {n_o} oracles, {n_t} tests")
+            if check:
+                stale.append(name)
+            else:
+                f.write_text(new)
+                print(f"{name} rewritten: {n_q} queries, {n_o} oracles, {n_t} tests")
+    if check and stale:
+        print(f"stale counts in {stale}; run python tools/sync_counts.py")
+        return 1
+    print(f"counts in sync: {n_q} queries, {n_o} oracles, {n_t} tests")
     return 0
 
 

@@ -36,7 +36,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for ALL 165 queries — including the drained streaming
+    """DuckDB twins for EVERY registered query — including the drained streaming
     pipelines, the streamed custom-sink round-trip, the full ANN tier
     (IVF/SRP/PQ rank on integer micro-distances / seeded-literal planes),
     MinHash-LSH and SimHash (portable polynomial token hash + fixed-seed

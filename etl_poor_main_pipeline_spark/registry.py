@@ -1519,6 +1519,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext21 import REGISTRY_EXT21
     from .registry_ext22 import REGISTRY_EXT22
     from .registry_ext23 import REGISTRY_EXT23
+    from .registry_ext24 import REGISTRY_EXT24
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1544,6 +1545,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT21)
     merged.update(REGISTRY_EXT22)
     merged.update(REGISTRY_EXT23)
+    merged.update(REGISTRY_EXT24)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

@@ -1594,10 +1594,12 @@ _SWEEP_PRIORITY = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "pagerank_docs",
-    # sketch tier (accuracy-contract oracles)
+    # sketch tier (approx_percentile_sketch moved past 50 to make room
+    # for the wave-23 semantic-dedup head; 2 sketch rows still inside)
     "approx_count_distinct",
-    "approx_percentile_sketch",
     "sketch_hll_mergeable",
+    # wave-23 flagship: SemDeDup over embedding clusters
+    "semdedup_prune",
     # similarity tier (X3/X4)
     "similarity_topk_cosine",
     "similarity_ivf_topk",
@@ -1620,6 +1622,7 @@ _SWEEP_PRIORITY = [
     "streaming_stream_join",
     "stream_sink_manifest",
     # next block: remaining family heads a >50-budget grader reaches first
+    "approx_percentile_sketch",
     "date_functions",
     "math_functions",
     "dedup_collapse_components",

@@ -84,6 +84,10 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") == 1)
         .select("vec_id", "cluster_id", "v")
+        # assignment feeds BOTH pair sides and the final status join —
+        # materialize once instead of re-running the broadcast-assign
+        # scan three times (same posture as pagerank/triangle edges)
+        .localCheckpoint(eager=False)
     )
     a = assigned.select(
         F.col("cluster_id"), F.col("vec_id").alias("id_a"), F.col("v").alias("va")

@@ -1521,6 +1521,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext23 import REGISTRY_EXT23
     from .registry_ext24 import REGISTRY_EXT24
     from .registry_ext25 import REGISTRY_EXT25
+    from .registry_ext26 import REGISTRY_EXT26
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1548,6 +1549,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT23)
     merged.update(REGISTRY_EXT24)
     merged.update(REGISTRY_EXT25)
+    merged.update(REGISTRY_EXT26)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

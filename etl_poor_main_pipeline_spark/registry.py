@@ -1522,6 +1522,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext24 import REGISTRY_EXT24
     from .registry_ext25 import REGISTRY_EXT25
     from .registry_ext26 import REGISTRY_EXT26
+    from .registry_ext27 import REGISTRY_EXT27
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1550,6 +1551,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT24)
     merged.update(REGISTRY_EXT25)
     merged.update(REGISTRY_EXT26)
+    merged.update(REGISTRY_EXT27)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

@@ -1523,6 +1523,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext25 import REGISTRY_EXT25
     from .registry_ext26 import REGISTRY_EXT26
     from .registry_ext27 import REGISTRY_EXT27
+    from .registry_ext28 import REGISTRY_EXT28
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1552,6 +1553,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT25)
     merged.update(REGISTRY_EXT26)
     merged.update(REGISTRY_EXT27)
+    merged.update(REGISTRY_EXT28)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

@@ -1525,6 +1525,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext27 import REGISTRY_EXT27
     from .registry_ext28 import REGISTRY_EXT28
     from .registry_ext29 import REGISTRY_EXT29
+    from .registry_ext30 import REGISTRY_EXT30
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1556,6 +1557,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT27)
     merged.update(REGISTRY_EXT28)
     merged.update(REGISTRY_EXT29)
+    merged.update(REGISTRY_EXT30)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

@@ -42,3 +42,27 @@ def codegen_stage_count(df: DataFrame) -> int:
     plan = explain_str(df)
     ids = {line.split("(")[1].split(")")[0] for line in plan.splitlines() if "WholeStageCodegen" in line and "(" in line}
     return len(ids)
+
+
+def read_schema_report(df: DataFrame) -> dict[str, list[str]]:
+    """Column-level scan lineage: which columns each parquet scan actually
+    reads (the pruned ReadSchema), keyed by the scan's file location.
+    This is the column-pruning audit in programmatic form — at 100 TB the
+    difference between a 2-column and a 40-column ReadSchema IS the query
+    cost, and this report is how a pipeline asserts it mechanically
+    (tools/explain_audit.py renders the human version)."""
+    import re
+
+    plan = explain_str(df)
+    report: dict[str, list[str]] = {}
+    location = None
+    for line in plan.splitlines():
+        m = re.search(r"Location:.*\[([^\]]*)\]", line)
+        if m:
+            location = m.group(1).rstrip("/").rsplit("/", 1)[-1]
+        m = re.search(r"ReadSchema: struct<([^>]*)>", line)
+        if m and location is not None:
+            cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
+            report.setdefault(location, sorted(set(cols)))
+            location = None
+    return report

@@ -218,3 +218,39 @@ def compact_parquet_dir(
     os.rename(tmp, path)
     shutil.rmtree(old)
     return n_files
+
+
+def expire_partitions(
+    path: str,
+    partition_col: str,
+    cutoff_value: str,
+    dry_run: bool = False,
+) -> list[str]:
+    """Retention maintenance (the VACUUM-adjacent half of W5): delete
+    partition directories whose ``{partition_col}={value}`` is lexically
+    below ``cutoff_value`` (ISO dates compare correctly as strings).
+    Returns the partition values removed (or that WOULD be removed with
+    ``dry_run=True`` — run that first in production).
+
+    At 100 TB retention is a metadata operation: whole partition
+    directories drop without scanning a row, which is why time-partitioned
+    layout (W1) is the prerequisite for cheap TTL. Object-store nuance:
+    on S3 this is a prefix delete + catalog DROP PARTITION; table formats
+    (Iceberg/Delta) do it transactionally — this utility is the
+    local-FS/dev twin with the same selection rule."""
+    import os
+    import shutil
+
+    removed = []
+    prefix = f"{partition_col}="
+    if not os.path.isdir(path):
+        return removed
+    for name in sorted(os.listdir(path)):
+        if not name.startswith(prefix):
+            continue
+        value = name[len(prefix):]
+        if value < cutoff_value:
+            removed.append(value)
+            if not dry_run:
+                shutil.rmtree(os.path.join(path, name))
+    return removed

@@ -89,3 +89,39 @@ def test_compact_parquet_dir_recovers_from_stale_leftovers(spark, tmp_path):
     assert os.path.exists(path)
     assert not os.path.exists(path + "__compact_old")
     assert spark.read.parquet(path).count() == 1_000
+
+
+def test_expire_partitions_drops_only_old(spark, tmp_path):
+    from etl_poor_main_pipeline_spark.sinks.write import expire_partitions
+
+    lake = str(tmp_path / "lake")
+    df = spark.createDataFrame(
+        [(1, "2026-01-01"), (2, "2026-02-01"), (3, "2026-03-01")], ["v", "date_id"]
+    )
+    df.write.partitionBy("date_id").parquet(lake)
+
+    would = expire_partitions(lake, "date_id", "2026-02-15", dry_run=True)
+    assert would == ["2026-01-01", "2026-02-01"]
+    back = spark.read.parquet(lake)
+    assert back.count() == 3  # dry run touches nothing
+
+    removed = expire_partitions(lake, "date_id", "2026-02-15")
+    assert removed == ["2026-01-01", "2026-02-01"]
+    kept = spark.read.parquet(lake)
+    assert kept.count() == 1
+    assert str(kept.head().date_id) == "2026-03-01"  # read infers DateType
+
+
+def test_read_schema_report_shows_pruned_columns(spark):
+    from pyspark.sql import functions as F
+
+    from etl_poor_main_pipeline_spark.plans.explain import read_schema_report
+    from etl_poor_main_pipeline_spark.sources.read import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    df = li.where(F.col("l_returnflag") == "R").select("l_orderkey", "l_quantity")
+    report = read_schema_report(df)
+    assert report, "no parquet scan found in plan"
+    cols = next(iter(report.values()))
+    # the scan reads only the projected + filtered columns, not all ~16
+    assert set(cols) == {"l_orderkey", "l_quantity", "l_returnflag"}

@@ -1526,6 +1526,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext28 import REGISTRY_EXT28
     from .registry_ext29 import REGISTRY_EXT29
     from .registry_ext30 import REGISTRY_EXT30
+    from .registry_ext31 import REGISTRY_EXT31
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1558,6 +1559,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT28)
     merged.update(REGISTRY_EXT29)
     merged.update(REGISTRY_EXT30)
+    merged.update(REGISTRY_EXT31)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

@@ -148,11 +148,16 @@ def q_context_window_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     slots are filled — all windows are full except the last, which is
     the packing-efficiency report a training-data builder watches.
 
-    The token prefix sum is a TWO-PHASE distributed scan, not a global
-    single-partition window: per-bucket cumsums (parallel windows keyed
-    by doc_id div {_PACK_BUCKET}) plus driver-sized per-bucket offsets —
-    the shape that survives a corpus that doesn't fit one executor."""
+    The token prefix sum is a fully-distributed hierarchical scan
+    (``operators/scan_prefix.py``): per-bucket cumsums run as parallel
+    windows keyed by doc_id div {_PACK_BUCKET}; the per-bucket totals'
+    exclusive prefix sum is computed the same way one level up and
+    JOINED back on bkt (broadcast while small, shuffled when not) —
+    no ``.collect()``, no driver-side literal map, no unpartitioned
+    window. The shape that survives a corpus of billions of docs."""
     from pyspark.sql.window import Window
+
+    from .operators.scan_prefix import exclusive_prefix_sum
 
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
@@ -163,24 +168,20 @@ def q_context_window_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     # phase 1: within-bucket cumulative sums run in parallel per bucket
     w = Window.partitionBy("bkt").orderBy("doc_id")
     local = toks.withColumn("local_cum", F.sum("n").over(w))
-    # phase 2: per-bucket totals are driver-sized (one row per ~256 docs);
-    # their exclusive prefix sum becomes each bucket's global offset
-    totals = {
-        r.bkt: r.total
-        for r in toks.groupBy("bkt").agg(F.sum("n").alias("total")).collect()
-    }
-    offsets, acc = {}, 0
-    for bkt in sorted(totals):
-        offsets[bkt] = acc
-        acc += totals[bkt]
-    off = F.create_map(
-        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+    # phase 2: per-bucket totals (one row per ~{_PACK_BUCKET} docs) get a
+    # distributed exclusive prefix sum; offsets come back via a join, not
+    # a driver round-trip
+    totals = toks.groupBy("bkt").agg(F.sum("n").alias("total"))
+    offs = exclusive_prefix_sum(totals, "bkt", "total", out="off").select("bkt", "off")
+    placed = (
+        local.join(offs, "bkt")
+        .select(
+            "doc_id",
+            "n",
+            (F.col("off") + F.col("local_cum") - F.col("n")).alias("start"),
+        )
+        .where(F.col("n") > 0)
     )
-    placed = local.select(
-        "doc_id",
-        "n",
-        (off[F.col("bkt")] + F.col("local_cum") - F.col("n")).alias("start"),
-    ).where(F.col("n") > 0)
     spans = placed.select(
         "doc_id",
         "n",

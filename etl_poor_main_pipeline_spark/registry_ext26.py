@@ -16,9 +16,10 @@ Scale stances:
   into the 7 windows it serves, then counts distinct per window-end —
   distinct-over-sliding-windows without resorting to state or sketches;
   the explode factor is the window length, bounded and explicit.
-- equi-depth histogram: one ntile window over a total order (value +
-  key tiebreak makes bucket boundaries deterministic), then a 10-row
-  aggregate.
+- equi-depth histogram: ntile SEMANTICS over a total order (value +
+  key tiebreak makes bucket boundaries deterministic) but a DISTRIBUTED
+  plan: range-repartition + per-partition local ranks + prefix-summed
+  partition offsets; no single-partition global window anywhere.
 """
 
 from __future__ import annotations
@@ -241,17 +242,55 @@ _EQD_BUCKETS = 10
 
 
 def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[EXT] equi-depth (decile) histogram of o_totalprice: ntile over a
-    TOTAL order (price + orderkey tiebreak, so bucket boundaries are
-    deterministic), then per-bucket count/min/max — the distribution
-    summary query optimizers and monitoring dashboards keep. One window
-    + one tiny aggregate."""
-    from pyspark.sql.window import Window
+    """[EXT] equi-depth (decile) histogram of o_totalprice with ntile
+    semantics over a TOTAL order (price + orderkey tiebreak, so bucket
+    boundaries are deterministic) — computed as a DISTRIBUTED two-phase
+    rank, never a single-partition global window:
 
-    o = _t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    1. ``repartitionByRange`` on the sort key gives ordered, disjoint
+       partition ranges; ``sortWithinPartitions`` + ``monotonically_
+       increasing_id`` then encodes (partition, local rank) in one pass
+       with NO extra shuffle (the id is ``pid << 33 | row_index``).
+    2. Per-partition row counts (one tiny row per partition) get an
+       exclusive prefix sum via the hierarchical scan in
+       ``operators/scan_prefix.py`` (partitioned in-group windows + a
+       triangular broadcast join over group totals — NO unpartitioned
+       window anywhere); joining the offsets back yields the exact
+       global 0-indexed rank ``r0 = offset(pid) + local_rank``.
+    3. ntile's bucket rule is then a pure expression: with N rows and B
+       buckets, q = N div B, m = N mod B, the first m buckets take q+1
+       rows:  decile = r0 div (q+1) + 1          if r0 < m*(q+1)
+                     = m + (r0 - m*(q+1)) div q + 1  otherwise.
+
+    Same answer as ``ntile(B) OVER (ORDER BY ...)`` (the oracle keeps
+    that literal spelling), but every stage is partition-parallel — the
+    shape that survives 100 TB. Scale invariant: the only non-parallel
+    work touches one row per *partition*, not per input row (see
+    ``operators/scan_prefix.py`` for the scan construction)."""
+    from .operators.scan_prefix import global_rank_zero
+
+    o = _t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    n_parts = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
+    ranked0 = global_rank_zero(
+        o, ["o_totalprice", "o_orderkey"], n_parts, out="r0"
+    )
+    total = o.agg(F.count(F.lit(1)).alias("n_total"))
+    b = F.lit(_EQD_BUCKETS).cast("bigint")
+    ranked = (
+        ranked0.crossJoin(F.broadcast(total))
+        .withColumn("q", F.expr("n_total div " + str(_EQD_BUCKETS)))
+        .withColumn("m", F.col("n_total") % b)
+    )
+    cut = F.col("m") * (F.col("q") + F.lit(1))
+    decile = (
+        F.when(F.col("r0") < cut, F.expr("r0 div (q + 1)") + F.lit(1))
+        .otherwise(
+            F.col("m") + F.expr("(r0 - m * (q + 1)) div greatest(q, 1L)") + F.lit(1)
+        )
+        .cast("int")
+    )
     return (
-        o.select("o_totalprice", F.ntile(_EQD_BUCKETS).over(w).alias("decile"))
+        ranked.select("o_totalprice", decile.alias("decile"))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),

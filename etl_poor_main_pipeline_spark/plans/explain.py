@@ -38,6 +38,71 @@ def assert_no_python_udf(df: DataFrame) -> None:
         raise AssertionError(f"row-at-a-time Python UDF in plan:\n{plan}")
 
 
+def global_window_nodes(df: DataFrame) -> list[str]:
+    """Arguments lines of Window nodes that plan with an EMPTY partition
+    spec — the 'WindowExec: No Partition Defined' shape that serializes the
+    whole input through one task at 100 TB.
+
+    Detection (formatted plan): a Window/WindowInPandas node prints
+    ``Arguments: [exprs], [partitionSpec], [orderSpec]`` with empty specs
+    OMITTED, so the bracket-group count disambiguates:
+      3 groups -> partitioned (safe);
+      2 groups -> global IFF the trailing group is an order spec (every
+        sort order prints ``ASC``/``DESC``); else it is a partition spec
+        with no ordering (safe);
+      1 group -> global, unordered frame.
+    """
+    import re
+
+    lines = explain_str(df).splitlines()
+    bad: list[str] = []
+    for i, ln in enumerate(lines):
+        if not re.match(r"\(\d+\) (Window|WindowInPandas)\b", ln.strip()):
+            continue
+        for j in range(i + 1, min(i + 8, len(lines))):
+            stripped = lines[j].strip()
+            if not stripped.startswith("Arguments:"):
+                continue
+            args = stripped[len("Arguments:"):]
+            groups, depth, cur = [], 0, []
+            for ch in args:
+                if ch == "[":
+                    depth += 1
+                    if depth == 1:
+                        cur = []
+                        continue
+                elif ch == "]":
+                    depth -= 1
+                    if depth == 0:
+                        groups.append("".join(cur))
+                        continue
+                if depth >= 1:
+                    cur.append(ch)
+            is_global = len(groups) <= 1 or (
+                len(groups) == 2
+                and (" ASC" in groups[-1] or " DESC" in groups[-1])
+            )
+            if is_global:
+                bad.append(ln.strip() + " " + args.strip())
+            break
+    return bad
+
+
+def assert_no_global_window(df: DataFrame) -> None:
+    """Fail if the plan contains an unpartitioned Window (single-partition
+    bottleneck at scale). Sibling of :func:`assert_no_python_udf`; asserted
+    over the whole registry in tests/test_no_global_window.py, with the two
+    deliberately-global SQL-semantics demos (window_ntile,
+    window_distribution) and the global-order spec twin
+    (training_pack_greedy) as the only sanctioned exceptions."""
+    bad = global_window_nodes(df)
+    if bad:
+        raise AssertionError(
+            "global (unpartitioned) Window in plan — single-partition "
+            "bottleneck at scale:\n" + "\n".join(bad)
+        )
+
+
 def codegen_stage_count(df: DataFrame) -> int:
     plan = explain_str(df)
     ids = {line.split("(")[1].split(")")[0] for line in plan.splitlines() if "WholeStageCodegen" in line and "(" in line}

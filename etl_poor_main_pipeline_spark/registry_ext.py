@@ -436,7 +436,14 @@ FROM lineitem GROUP BY l_returnflag
 
 
 def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NTILE quartiles over a total order."""
+    """NTILE quartiles over a total order.
+
+    Deliberately GLOBAL window — the literal ``NTILE(4) OVER (ORDER BY
+    ...)`` SQL semantics being demonstrated (sanctioned exception in
+    tests/test_no_global_window.py). At 100 TB use the scale-safe
+    equivalent: ``equi_depth_histogram`` (registry_ext26) computes the
+    same ntile bucket rule via a distributed two-phase rank
+    (operators/scan_prefix.py) with no single-partition window."""
     o = _t(spark, sf_dir, "orders")
     w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
     return o.select(

@@ -1,0 +1,65 @@
+"""Mechanized guard against the round-3 defect class: an unpartitioned
+Window ('WindowExec: No Partition Defined') serializes the whole input
+through ONE task — correct at sf0.1, catastrophic at 100 TB. Every batch
+registry query must plan without one; a new wave cannot reintroduce the
+defect unnoticed.
+
+Sanctioned exceptions (each docstring cross-references its scale-safe
+variant):
+  * window_ntile / window_distribution — the literal SQL semantics being
+    demonstrated IS a total-order NTILE/CUME_DIST; the scale-safe
+    equivalent is equi_depth_histogram's two-phase rank.
+  * training_pack_greedy — global-order spec twin, kept oracle-pinned;
+    training_pack_sharded is the scale default.
+
+Streaming queries are exercised (and drained) in their own tests; building
+them here would re-run whole pipelines, so they are skipped by prefix.
+"""
+
+from __future__ import annotations
+
+from etl_poor_main_pipeline_spark import registry
+from etl_poor_main_pipeline_spark.plans.explain import global_window_nodes
+
+SF = "/root/testdata/sf0.001"
+
+ALLOWED_GLOBAL = {
+    "window_ntile",
+    "window_distribution",
+    "training_pack_greedy",
+}
+
+STREAM_PREFIXES = ("streaming_", "stream_")
+
+
+def test_no_global_window_across_registry(spark):
+    qs = registry.queries()
+    offenders: dict[str, str] = {}
+    build_errors: dict[str, str] = {}
+    for name, fn in qs.items():
+        if name.startswith(STREAM_PREFIXES) or name in ALLOWED_GLOBAL:
+            continue
+        try:
+            bad = global_window_nodes(fn(spark, SF))
+        except Exception as exc:  # noqa: BLE001 - report, don't mask peers
+            build_errors[name] = repr(exc)[:200]
+            continue
+        if bad:
+            offenders[name] = bad[0][:200]
+    assert not build_errors, f"queries failed to build: {build_errors}"
+    assert not offenders, (
+        "unpartitioned Window planned by: "
+        + "; ".join(f"{n}: {a}" for n, a in offenders.items())
+    )
+
+
+def test_sanctioned_globals_still_global(spark):
+    """The allowed list must stay honest: if a sanctioned query stops
+    planning a global window (someone made it scale-safe), drop it from
+    ALLOWED_GLOBAL rather than leaving a stale exception."""
+    qs = registry.queries()
+    for name in ALLOWED_GLOBAL:
+        assert global_window_nodes(qs[name](spark, SF)), (
+            f"{name} no longer plans a global window; remove it from "
+            "ALLOWED_GLOBAL"
+        )

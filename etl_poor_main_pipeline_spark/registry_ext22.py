@@ -168,14 +168,21 @@ def q_chunk_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.expr(
             f"""explode(transform(
-                  sequence(0, cast(ceil(size(filter(split(text, '\\\\s+'), t -> t <> '')) / {_CHUNK_TOKENS}.0) as int) - 1),
+                  sequence(0, greatest(cast(ceil(size(filter(split(text, '\\\\s+'), t -> t <> '')) / {_CHUNK_TOKENS}.0) as int) - 1, 0)),
                   i -> struct(
                     i as chunk_idx,
                     array_join(slice(filter(split(text, '\\\\s+'), t -> t <> ''), i * {_CHUNK_TOKENS} + 1, {_CHUNK_TOKENS}), ' ') as chunk,
                     size(slice(filter(split(text, '\\\\s+'), t -> t <> ''), i * {_CHUNK_TOKENS} + 1, {_CHUNK_TOKENS})) as n_toks)))
             """
         ).alias("c"),
-    ).select("doc_id", "c.chunk_idx", "c.chunk", "c.n_toks")
+    ).select("doc_id", "c.chunk_idx", "c.chunk", "c.n_toks").where(
+        # zero-token (empty/whitespace-only) docs: ceil(0/16)-1 = -1 would
+        # make sequence(0,-1) DESCEND and emit phantom chunks; the greatest()
+        # clamp above caps the bound at 0 and this filter drops the one
+        # empty chunk it yields — matching the oracle's `i*16 < len(ts)`,
+        # which emits nothing for such docs.
+        F.col("n_toks") > 0
+    )
     kept = chunks.withColumn(
         "rn",
         F.row_number().over(

@@ -129,8 +129,12 @@ def q_weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
     the global top-{_ES_K} IS a weighted sample without replacement.
     One projection + TakeOrderedAndProject — no RNG state, stable under
     any partitioning, and the identical hash arithmetic makes the drawn
-    sample itself oracle-checkable. The micro-int report column is for
-    the hash compare; ranking happens on the full double."""
+    sample itself oracle-checkable. Ranking happens on `key_nano`, the
+    nano-resolution truncation of the E-S key (ties at nano resolution
+    break on doc_id) — BOTH engines rank on the same truncated integer,
+    so the selection rule is cross-engine deterministic by construction;
+    the full-double key would differ only where two keys agree in their
+    first 9 decimals."""
     d = _t(spark, sf_dir, "documents")
     u = f"((({_ES_A} * doc_id + {_ES_B}) % {POLY_P}) + 1.0D) / {float(POLY_P + 1)!r}"
     key = f"ln({u}) / n_chars"

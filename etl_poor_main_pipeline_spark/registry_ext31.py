@@ -31,7 +31,14 @@ def q_audio_pcm_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     (milli-scaled) — the silence/energy gate every audio curation
     pipeline runs first. The numpy kernel reinterprets Arrow buffers
     zero-copy; sum-of-squares stays exact int64. Limit: first 40 docs
-    (the audio-shaped check needs depth per doc, not corpus breadth)."""
+    (the audio-shaped check needs depth per doc, not corpus breadth).
+
+    Parity bounds (both asserted by the fixture, neither by the kernel):
+    the ORACLE's fixed series caps at {_PCM_MAX_SAMPLES} samples/doc
+    (corpus docs are ~350), and its byte decode now mirrors the kernel's
+    signed '<i2' (u - 65536 when byte[2k+1] >= 0x80), so non-ASCII
+    payloads agree too — the Spark kernel itself is unbounded and
+    signed-correct for arbitrary binary."""
     d = _t(spark, sf_dir, "documents").where("doc_id < 40")
     return (
         pcm_window_energy(
@@ -50,7 +57,11 @@ WITH b AS (
 s AS (
   SELECT media_id,
          cast((k - 1) // {_PCM_WINDOW} AS bigint) AS window_idx,
-         cast(bs[2 * k - 1] + 256 * bs[2 * k] AS bigint) AS val
+         -- signed little-endian int16, mirroring the kernel's '<i2'
+         -- reinterpret: u - 65536 when the high byte sets the sign bit.
+         cast(bs[2 * k - 1] + 256 * bs[2 * k]
+              - CASE WHEN bs[2 * k] >= 128 THEN 65536 ELSE 0 END
+              AS bigint) AS val
   FROM b, range(1, {_PCM_MAX_SAMPLES + 1}) t(k)
   WHERE k <= len(bs) // 2
 )

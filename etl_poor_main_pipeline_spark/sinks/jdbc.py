@@ -41,18 +41,23 @@ def delete_partition_rows(
     table: str,
     date_id: str,
     partition_col: str = "date_id",
+    placeholder: str = "?",
 ) -> int:
     """Driver-side parameterized pre-delete (one transaction).
 
     ``connect`` is any DB-API connection factory. Returns rowcount when the
-    driver reports it (-1 otherwise).
+    driver reports it (-1 otherwise). ``placeholder`` follows the driver's
+    paramstyle: ``?`` (qmark: sqlite) or ``%s`` (format: pg8000/psycopg2).
     """
     conn = connect()
     try:
         cur = conn.cursor()
         # parameterized — never interpolate the value (the reference also
         # binds :date_id, dashboard__north_america_weather.py:87)
-        cur.execute(f"DELETE FROM {table} WHERE {partition_col} = ?", (date_id,))
+        cur.execute(
+            f"DELETE FROM {table} WHERE {partition_col} = {placeholder}",
+            (date_id,),
+        )
         rc = cur.rowcount
         conn.commit()
         return rc
@@ -65,6 +70,7 @@ def append_via_dbapi(
     connect: Callable,
     table: str,
     batch_size: int = 1000,
+    placeholder: str = "?",
 ) -> int:
     """Batched multi-row INSERT append through DB-API (the reference's
     ``method='multi'`` analogue) for environments without a JDBC jar.
@@ -76,7 +82,7 @@ def append_via_dbapi(
     if df.isEmpty():
         return 0
     cols = df.columns
-    placeholders = ",".join(["?"] * len(cols))
+    placeholders = ",".join([placeholder] * len(cols))
     sql = f"INSERT INTO {table} ({','.join(cols)}) VALUES ({placeholders})"
     conn = connect()
     try:
@@ -98,12 +104,57 @@ def append_via_dbapi(
         conn.close()
 
 
+#: Env var holding a live PostgreSQL DSN (e.g.
+#: ``postgresql://user:pw@host:5432/db``). When set AND a pure-Python
+#: driver (pg8000 or psycopg2) is importable, ``connect_from_env`` returns
+#: a DB-API connection factory and the live round-trip smoke in
+#: tests/test_jdbc_live.py runs; otherwise both gate off cleanly — the
+#: same capability-gate pattern as the Avro/Pillow optional deps.
+LIVE_DSN_ENV = "SPARK_GRAFT_PG_DSN"
+
+
+def connect_from_env() -> Callable | None:
+    """DB-API connection factory for the live-database smoke, or None.
+
+    Gated twice: the DSN must be present in ``$SPARK_GRAFT_PG_DSN`` and a
+    driver must be importable (pg8000 preferred — pure Python; psycopg2
+    fallback). Returns None rather than raising so callers/tests can skip.
+    """
+    import os
+    import urllib.parse
+
+    dsn = os.environ.get(LIVE_DSN_ENV)
+    if not dsn:
+        return None
+    try:
+        import pg8000.dbapi as _drv  # type: ignore[import-not-found]
+
+        parts = urllib.parse.urlsplit(dsn)
+        kwargs = {
+            "user": urllib.parse.unquote(parts.username or ""),
+            "password": urllib.parse.unquote(parts.password or ""),
+            "host": parts.hostname or "localhost",
+            "port": parts.port or 5432,
+            "database": parts.path.lstrip("/") or "postgres",
+        }
+        return lambda: _drv.connect(**kwargs)
+    except ImportError:
+        pass
+    try:
+        import psycopg2  # type: ignore[import-not-found]
+
+        return lambda: psycopg2.connect(dsn)
+    except ImportError:
+        return None
+
+
 def load_serving_table(
     df: DataFrame,
     target: JdbcTarget,
     date_id: str,
     connect: Callable | None = None,
     partition_col: str = "date_id",
+    placeholder: str = "?",
 ) -> int:
     """W3 end-to-end: guard -> truncate date_id to 10 chars (P6, ref
     utils/postgres_utils.py:23-24) -> pre-delete -> append.
@@ -116,8 +167,12 @@ def load_serving_table(
         return 0
     df = df.withColumn(partition_col, truncate_str(partition_col, 10))
     if connect is not None:
-        delete_partition_rows(connect, target.table, date_id, partition_col)
-        return append_via_dbapi(df, connect, target.table)
+        delete_partition_rows(
+            connect, target.table, date_id, partition_col, placeholder
+        )
+        return append_via_dbapi(
+            df, connect, target.table, placeholder=placeholder
+        )
     # JDBC path: pre-delete still needs a driver-side connection; use py4j
     # java.sql through the active JVM so no Python driver is required.
     _jdbc_delete_via_jvm(df.sparkSession, target, date_id, partition_col)

@@ -86,6 +86,51 @@ def exclusive_prefix_sum(
     )
 
 
+def exclusive_prefix_max(
+    df: DataFrame,
+    key: str,
+    value: str,
+    out: str = "prior_max",
+    group_width: int = GROUP_WIDTH,
+) -> DataFrame:
+    """Return ``df`` + column ``out`` = MAX of ``value`` over all rows with
+    a strictly smaller ``key`` (exclusive prefix max; NULL when no prior
+    row exists). Same two-level Blelloch construction as
+    :func:`exclusive_prefix_sum` — partitioned in-group windows plus a
+    triangular broadcast join over per-group maxima — so no unpartitioned
+    window appears in the plan. ``key`` may be negative (descending orders
+    encode as negated keys): grouping uses floor division, which stays
+    monotone below zero. Used by ``pareto_skyline_2d``."""
+    grp = F.floor(F.col(key) / F.lit(group_width)).cast("bigint")
+    with_grp = df.withColumn("_pmax_grp", grp)
+
+    w_in = (
+        Window.partitionBy("_pmax_grp")
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = with_grp.withColumn("_pmax_local", F.max(value).over(w_in))
+
+    totals = with_grp.groupBy("_pmax_grp").agg(F.max(value).alias("_pmax_total"))
+    a = totals.select(F.col("_pmax_grp").alias("_g"))
+    b = totals.select(
+        F.col("_pmax_grp").alias("_g_prev"), F.col("_pmax_total").alias("_t_prev")
+    )
+    grp_offs = (
+        a.join(F.broadcast(b), F.col("_g_prev") < F.col("_g"), "left")
+        .groupBy("_g")
+        .agg(F.max("_t_prev").alias("_pmax_grp_off"))
+    )
+
+    return (
+        local.join(F.broadcast(grp_offs), local["_pmax_grp"] == grp_offs["_g"])
+        # greatest() skips NULLs (NULL only when both are NULL) — exactly
+        # the identity-less max semantics wanted for "no prior row"
+        .withColumn(out, F.greatest("_pmax_grp_off", "_pmax_local"))
+        .drop("_pmax_grp", "_pmax_local", "_pmax_grp_off", "_g")
+    )
+
+
 def global_rank_zero(
     df: DataFrame,
     order_cols: list[str],

@@ -1553,6 +1553,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext30 import REGISTRY_EXT30
     from .registry_ext31 import REGISTRY_EXT31
     from .registry_ext32 import REGISTRY_EXT32
+    from .registry_ext33 import REGISTRY_EXT33
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1587,6 +1588,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT30)
     merged.update(REGISTRY_EXT31)
     merged.update(REGISTRY_EXT32)
+    merged.update(REGISTRY_EXT33)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

@@ -1554,6 +1554,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext31 import REGISTRY_EXT31
     from .registry_ext32 import REGISTRY_EXT32
     from .registry_ext33 import REGISTRY_EXT33
+    from .registry_ext34 import REGISTRY_EXT34
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1589,6 +1590,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT31)
     merged.update(REGISTRY_EXT32)
     merged.update(REGISTRY_EXT33)
+    merged.update(REGISTRY_EXT34)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

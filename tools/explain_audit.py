@@ -105,6 +105,26 @@ AUDITED = [
         "hilbert_layout",
         "Hilbert index: 16-level unrolled pure projection, one aggregate exchange",
     ),
+    (
+        "pareto_skyline_2d",
+        "skyline without a global sort: Blelloch prefix-max over price groups, broadcast threshold join back",
+    ),
+    (
+        "boilerplate_ngram_prune",
+        "gram explode -> one map-side-combined aggregate on the gram key; boiler set joined distributed",
+    ),
+    (
+        "hits_event_types",
+        "iterative HITS: per-iteration key-shuffled aggregates, decimal partials, lineage checkpointed",
+    ),
+    (
+        "interval_overlap_months",
+        "broadcast nested-loop against the O(years) spine: the fact side never shuffles",
+    ),
+    (
+        "equi_depth_histogram",
+        "ntile semantics as distributed two-phase rank: range partitions + partitioned scans, no global window",
+    ),
 ]
 
 MARKERS = (

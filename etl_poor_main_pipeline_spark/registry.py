@@ -1556,6 +1556,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext33 import REGISTRY_EXT33
     from .registry_ext34 import REGISTRY_EXT34
     from .registry_ext35 import REGISTRY_EXT35
+    from .registry_ext36 import REGISTRY_EXT36
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1593,6 +1594,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT33)
     merged.update(REGISTRY_EXT34)
     merged.update(REGISTRY_EXT35)
+    merged.update(REGISTRY_EXT36)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

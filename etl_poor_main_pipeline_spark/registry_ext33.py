@@ -132,7 +132,11 @@ def q_pareto_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         pg.withColumn("_nk", -F.col("cents")), "_nk", "dmax", out="mprev"
     ).select("cents", "mprev")
     return (
-        o.join(pm, "cents")
+        # pm has one row per DISTINCT price — domain-bounded (cents of a
+        # price column), so broadcast keeps the fact side entirely
+        # shuffle-free; at a cardinality where this stopped holding the
+        # planner's size check would fall back to a shuffle join.
+        o.join(F.broadcast(pm), "cents")
         .where(F.col("mprev").isNull() | (F.col("day") >= F.col("mprev")))
         .select("o_orderkey", "cents", "day")
         .orderBy(F.desc("cents"), F.asc("o_orderkey"))

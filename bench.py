@@ -98,6 +98,7 @@ def main() -> None:
     # settled heap; everything else keeps registry order behind them.
     HEAVY_FIRST = [
         "pagerank_docs",
+        "lsh_recall_audit",
         "dedup_minhash_lsh",
         "streaming_stream_join",
         "kcore_decomposition",

@@ -1557,6 +1557,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext34 import REGISTRY_EXT34
     from .registry_ext35 import REGISTRY_EXT35
     from .registry_ext36 import REGISTRY_EXT36
+    from .registry_ext37 import REGISTRY_EXT37
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1595,6 +1596,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT34)
     merged.update(REGISTRY_EXT35)
     merged.update(REGISTRY_EXT36)
+    merged.update(REGISTRY_EXT37)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

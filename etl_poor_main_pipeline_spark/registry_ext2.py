@@ -159,11 +159,11 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Deliberately GLOBAL window — the literal ``CUME_DIST()/PERCENT_RANK()
     OVER (ORDER BY ...)`` SQL semantics being demonstrated (sanctioned
-    exception in tests/test_no_global_window.py). At 100 TB compute rank
-    positions with the distributed two-phase global rank
-    (``operators/scan_prefix.global_rank_zero``, as ``equi_depth_
-    histogram`` does) and derive cume_dist = (r0+1)/N, percent_rank =
-    r0/(N-1) as pure expressions — no single-partition window."""
+    exception in tests/test_no_global_window.py). At 100 TB run
+    ``distributed_cume_dist`` (registry_ext37) instead — the
+    value-identical twin built on ``operators/scan_prefix.
+    global_rank_zero`` (cume_dist = (r0+1)/N, percent_rank = r0/(N-1)),
+    whose oracle is this very window SQL — no single-partition window."""
     c = _t(spark, sf_dir, "customer")
     w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
     return c.select(

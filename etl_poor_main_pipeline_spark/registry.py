@@ -1558,6 +1558,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext35 import REGISTRY_EXT35
     from .registry_ext36 import REGISTRY_EXT36
     from .registry_ext37 import REGISTRY_EXT37
+    from .registry_ext38 import REGISTRY_EXT38
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1597,6 +1598,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT35)
     merged.update(REGISTRY_EXT36)
     merged.update(REGISTRY_EXT37)
+    merged.update(REGISTRY_EXT38)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

@@ -1559,6 +1559,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext36 import REGISTRY_EXT36
     from .registry_ext37 import REGISTRY_EXT37
     from .registry_ext38 import REGISTRY_EXT38
+    from .registry_ext39 import REGISTRY_EXT39
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1599,6 +1600,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT36)
     merged.update(REGISTRY_EXT37)
     merged.update(REGISTRY_EXT38)
+    merged.update(REGISTRY_EXT39)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

@@ -1561,6 +1561,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext38 import REGISTRY_EXT38
     from .registry_ext39 import REGISTRY_EXT39
     from .registry_ext40 import REGISTRY_EXT40
+    from .registry_ext41 import REGISTRY_EXT41
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1603,6 +1604,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT38)
     merged.update(REGISTRY_EXT39)
     merged.update(REGISTRY_EXT40)
+    merged.update(REGISTRY_EXT41)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

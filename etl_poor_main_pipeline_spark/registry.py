@@ -1633,18 +1633,17 @@ _SWEEP_PRIORITY = [
     "partition_scan",
     # one per relational family
     "tpch_q1_pricing_summary",
-    "agg_rollup",
     "conditional_agg_pivot",
     "time_bucket_agg",
     "join_broadcast_dims",
     "tpch_q3_shipping_priority",
     "tpch_q5_star_join",
-    "range_join_band",
     "asof_join_events",
     # wave-26 flagship: point-in-time (as-of-validity) join
     "point_in_time_join",
     "window_row_number_topn",
-    "topk_order_limit",
+    # wave-38 flagship: the scale-safe global-window twin (Blelloch rank)
+    "distributed_cume_dist",
     "set_intersect",
     "string_functions",
     "sessionization_gap30m",
@@ -1655,6 +1654,8 @@ _SWEEP_PRIORITY = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_keep_best",
+    # wave-37 flagship: recall audit of the approximate dedup path
+    "lsh_recall_audit",
     "pagerank_docs",
     "kcore_decomposition",
     # sketch tier (approx_count_distinct rotated past 50 — HLL already
@@ -1667,13 +1668,15 @@ _SWEEP_PRIORITY = [
     "similarity_ivf_topk",
     "similarity_pq_adc",
     "similarity_self_join",
-    # text + retrieval tier (X6/X7; bm25 is the wave-19 retrieval head)
-    "text_top_terms",
+    # text + retrieval tier (X6/X7; bm25 is the wave-19 retrieval head;
+    # pii_redact and bpe_apply are the wave-33/34 curation heads)
     "bm25_topk",
     "text_tf_idf",
     "text_lang_id",
     "text_quality_score",
     "text_gopher_rules",
+    "pii_redact_scrub",
+    "bpe_apply_merges",
     # multimodal (X5) incl. the wave-32 real PCM audio kernel, sampling (X8)
     "multimodal_binary_meta",
     "multimodal_frame_sample",
@@ -1685,8 +1688,12 @@ _SWEEP_PRIORITY = [
     "streaming_stream_join",
     "stream_sink_manifest",
     # next block: remaining family heads a >50-budget grader reaches first
-    # (head of block = the four rotated out of the 50 this round, each
+    # (head of block = the eight rotated out of the 50 this round, each
     # graded green in rounds 1-3: CORRECTNESS_r0{1,2,3}.json)
+    "agg_rollup",
+    "range_join_band",
+    "topk_order_limit",
+    "text_top_terms",
     "in_subquery_semi",
     "dedup_jaccard_pairs",
     "approx_count_distinct",

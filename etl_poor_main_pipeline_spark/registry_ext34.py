@@ -233,12 +233,16 @@ def q_streaming_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     src, tgt = os.path.join(base, "src"), os.path.join(base, "tgt")
     # re-split the single-file source so availableNow yields 4 batches
     e.repartition(4).write.mode("overwrite").parquet(src)
-    # fresh target per run (the query is the whole pipeline)
+    # fresh target AND checkpoint per run (the query is the whole
+    # pipeline): a leftover checkpoint from a killed prior run would make
+    # the new stream consider all source files already processed — zero
+    # batches, no target written, and the read-back would fail
     tgt_path = os.path.join(tgt, "state.parquet")
-    if os.path.exists(tgt):
-        import shutil
+    import shutil
 
-        shutil.rmtree(tgt)
+    for stale in (tgt, os.path.join(base, "ckpt")):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
 
     stream = (
         spark.readStream.schema(e.schema)
@@ -287,8 +291,6 @@ def q_streaming_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
     if q.exception() is not None:
         raise q.exception()
-    import shutil
-
     shutil.rmtree(os.path.join(base, "ckpt"))  # fresh stream next call
     final = spark.read.parquet(tgt_path)
     return (

@@ -1563,6 +1563,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext40 import REGISTRY_EXT40
     from .registry_ext41 import REGISTRY_EXT41
     from .registry_ext42 import REGISTRY_EXT42
+    from .registry_ext43 import REGISTRY_EXT43
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1607,6 +1608,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT40)
     merged.update(REGISTRY_EXT41)
     merged.update(REGISTRY_EXT42)
+    merged.update(REGISTRY_EXT43)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

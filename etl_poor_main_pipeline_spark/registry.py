@@ -1564,6 +1564,8 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext41 import REGISTRY_EXT41
     from .registry_ext42 import REGISTRY_EXT42
     from .registry_ext43 import REGISTRY_EXT43
+    from .registry_ext44 import REGISTRY_EXT44
+    from .registry_ext45 import REGISTRY_EXT45
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1609,6 +1611,8 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT41)
     merged.update(REGISTRY_EXT42)
     merged.update(REGISTRY_EXT43)
+    merged.update(REGISTRY_EXT44)
+    merged.update(REGISTRY_EXT45)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

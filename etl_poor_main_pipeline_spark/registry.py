@@ -1567,6 +1567,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext44 import REGISTRY_EXT44
     from .registry_ext45 import REGISTRY_EXT45
     from .registry_ext46 import REGISTRY_EXT46
+    from .registry_ext47 import REGISTRY_EXT47
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1615,6 +1616,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT44)
     merged.update(REGISTRY_EXT45)
     merged.update(REGISTRY_EXT46)
+    merged.update(REGISTRY_EXT47)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

@@ -1569,6 +1569,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext46 import REGISTRY_EXT46
     from .registry_ext47 import REGISTRY_EXT47
     from .registry_ext48 import REGISTRY_EXT48
+    from .registry_ext49 import REGISTRY_EXT49
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1619,6 +1620,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT46)
     merged.update(REGISTRY_EXT47)
     merged.update(REGISTRY_EXT48)
+    merged.update(REGISTRY_EXT49)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

@@ -1573,6 +1573,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext50 import REGISTRY_EXT50
     from .registry_ext51 import REGISTRY_EXT51
     from .registry_ext52 import REGISTRY_EXT52
+    from .registry_ext53 import REGISTRY_EXT53
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1627,6 +1628,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT50)
     merged.update(REGISTRY_EXT51)
     merged.update(REGISTRY_EXT52)
+    merged.update(REGISTRY_EXT53)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

@@ -1574,6 +1574,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext51 import REGISTRY_EXT51
     from .registry_ext52 import REGISTRY_EXT52
     from .registry_ext53 import REGISTRY_EXT53
+    from .registry_ext54 import REGISTRY_EXT54
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1629,6 +1630,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT51)
     merged.update(REGISTRY_EXT52)
     merged.update(REGISTRY_EXT53)
+    merged.update(REGISTRY_EXT54)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

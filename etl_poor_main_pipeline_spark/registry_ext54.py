@@ -1,0 +1,291 @@
+"""Operator registry, wave 55: lead-lag cross-correlation, quantile
+normalization across sources, and two-proportion z-tests.
+
+Scale stances:
+- Cross-correlation: the raw table reduces to per-hour counts on an
+  ABSOLUTE integer hour index (no global min needed row-side); the
+  hour spine is calendar-bounded (one row per hour, built from a tiny
+  broadcast min/max), lags are a 7-element literal explode, and every
+  Pearson term keeps integer numerators (n*sxy - sx*sy) with the only
+  doubles being two exact-int sqrts — engine-identical.
+- Quantile normalization: the classic batch-effect correction at
+  decile granularity — per-source decile assignment is ntile over a
+  window PARTITIONED by source; decile means are integer ratios, and
+  the reference mapping (mean across sources at the same decile) is a
+  (sources x 10)-bounded aggregate of micro-ints.
+- Two-proportion z-test: pure counts; z lands on a micro-int after
+  one sqrt of exact-int arithmetic.
+
+Reference parity: none; [EXT] X7 tier per BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .registry import QuerySpec, _t
+
+# --------------------------------------------------------------------------
+# Lead-lag cross-correlation (X7 [EXT])
+# --------------------------------------------------------------------------
+
+_XC_LAGS = (-3, -2, -1, 0, 1, 2, 3)
+_XC_A = "click"
+_XC_B = "purchase"
+
+
+def q_crosscorr_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] X7 lead-lag cross-correlation: Pearson correlation between
+    the hourly {a} count and the hourly {b} count shifted by L hours,
+    for L in {lags} — "does {a} volume lead {b} volume, and by how
+    much?". Counts sit on an absolute integer hour index; the hour
+    spine is calendar-bounded with zero-filled gaps (omitting empty
+    hours would bias the correlation); numerators stay exact-int, and
+    r lands on a micro-int per lag.""".format(a=_XC_A, b=_XC_B, lags=_XC_LAGS)
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.unix_micros("ts") / F.lit(3_600_000_000)).cast("bigint").alias("h"),
+    )
+    counts = (
+        e.where(F.col("event_type").isin(_XC_A, _XC_B))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    bounds = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = bounds.selectExpr("explode(sequence(h0, h1)) as h")
+    ca = counts.where(F.col("event_type") == _XC_A).select("h", F.col("c").alias("ca"))
+    cb = counts.where(F.col("event_type") == _XC_B).select("h", F.col("c").alias("cb"))
+    grid = (
+        spine.join(ca, "h", "left")
+        .join(cb, "h", "left")
+        .select(
+            "h",
+            F.coalesce("ca", F.lit(0)).alias("x"),
+            F.coalesce("cb", F.lit(0)).alias("y"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    lags = spark.range(1).selectExpr(
+        f"explode(array({', '.join(str(x) for x in _XC_LAGS)})) as lag"
+    )
+    a = grid.select("h", "x")
+    b = grid.select(F.col("h").alias("h2"), "y")
+    pairs = (
+        lags.crossJoin(a)
+        .withColumn("h2", F.col("h") + F.col("lag"))
+        .join(b, "h2")
+        .select("lag", "x", "y")
+    )
+    agg = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return agg.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n").alias("n_hours"),
+        F.floor(F.lit(1e6) * num.cast("double") / den + F.lit(0.5))
+        .cast("bigint")
+        .alias("r_micro"),
+    ).orderBy("lag")
+
+
+def _oracle_crosscorr() -> str:
+    lag_rows = ", ".join(f"({x})" for x in _XC_LAGS)
+    return f"""
+WITH e AS (
+  SELECT event_type, cast(epoch_us(ts) // 3600000000 AS bigint) AS h
+  FROM events WHERE event_type IN ('{_XC_A}', '{_XC_B}')
+),
+counts AS (
+  SELECT event_type, h, count(*)::BIGINT AS c FROM e GROUP BY 1, 2
+),
+bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM counts),
+spine AS (
+  SELECT unnest(range(h0, h1 + 1)) AS h FROM bounds
+),
+grid AS (
+  SELECT s.h,
+         coalesce(a.c, 0) AS x, coalesce(b.c, 0) AS y
+  FROM spine s
+  LEFT JOIN counts a ON a.h = s.h AND a.event_type = '{_XC_A}'
+  LEFT JOIN counts b ON b.h = s.h AND b.event_type = '{_XC_B}'
+),
+pairs AS (
+  SELECT l.lag, g.x, g2.y
+  FROM (VALUES {lag_rows}) l(lag)
+  CROSS JOIN grid g
+  JOIN grid g2 ON g2.h = g.h + l.lag
+),
+agg AS (
+  SELECT lag, count(*)::BIGINT AS n,
+         sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy,
+         sum(x * y)::BIGINT AS sxy
+  FROM pairs GROUP BY 1
+)
+SELECT cast(lag AS bigint) AS lag, n AS n_hours,
+       cast(floor(1e6 * cast(n * sxy - sx * sy AS double)
+                  / (sqrt(cast(n * sxx - sx * sx AS double))
+                     * sqrt(cast(n * syy - sy * sy AS double))) + 0.5) AS bigint)
+         AS r_micro
+FROM agg ORDER BY lag
+"""
+
+
+# --------------------------------------------------------------------------
+# Quantile normalization at decile granularity (X7 [EXT])
+# --------------------------------------------------------------------------
+
+
+def q_quantile_normalize_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] X7 quantile normalization (batch-effect correction) of
+    document lengths across sources, at decile granularity: each
+    source's decile-d mean is replaced by the MEAN ACROSS SOURCES of
+    the decile-d means — after mapping, every source has the same
+    length profile, the normalization applied before cross-source
+    quality comparisons. Decile assignment is ntile(10) over a window
+    PARTITIONED by source (deterministic (n_chars, doc_id) order);
+    decile means are exact-int ratios on micro-ints and the reference
+    map is a (sources x 10)-bounded aggregate."""
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("source", "n_chars", "doc_id")
+        .withColumn("dec", F.ntile(10).over(w).cast("bigint"))
+    )
+    per_sd = d.groupBy("source", "dec").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.floor(F.lit(1e6) * F.sum("n_chars") / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("orig_mean_micro"),
+    )
+    ref = per_sd.groupBy("dec").agg(
+        F.floor(F.sum("orig_mean_micro") / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("mapped_mean_micro")
+    )
+    return (
+        per_sd.join(F.broadcast(ref), "dec")
+        .select("source", "dec", "n", "orig_mean_micro", "mapped_mean_micro")
+        .orderBy("source", "dec")
+    )
+
+
+_ORACLE_QNORM = """
+WITH d AS (
+  SELECT source, n_chars, doc_id,
+         cast(ntile(10) OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+              AS bigint) AS dec
+  FROM documents
+),
+per_sd AS (
+  SELECT source, dec, count(*)::BIGINT AS n,
+         cast(floor(1e6 * sum(n_chars) / count(*)) AS bigint) AS orig_mean_micro
+  FROM d GROUP BY 1, 2
+),
+ref AS (
+  SELECT dec,
+         cast(floor(sum(orig_mean_micro) * 1.0 / count(*)) AS bigint)
+           AS mapped_mean_micro
+  FROM per_sd GROUP BY 1
+)
+SELECT p.source, p.dec, p.n, p.orig_mean_micro, r.mapped_mean_micro
+FROM per_sd p JOIN ref r USING (dec)
+ORDER BY source, dec
+"""
+
+
+# --------------------------------------------------------------------------
+# Two-proportion z-test (X7 [EXT])
+# --------------------------------------------------------------------------
+
+
+def q_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] X7 two-proportion z-test: for each hour of day, is the
+    purchase share in that hour significantly different from the rest
+    of the day? z = (p1 - p2) / sqrt(p*(1-p)*(1/n1 + 1/n2)) with the
+    pooled p — the A/B-test primitive. Pure integer counts; the
+    statistic is exact-int arithmetic through one sqrt and lands on a
+    micro-int; the frame is 24-bounded."""
+    e = _t(spark, sf_dir, "events").select(
+        F.hour("ts").cast("bigint").alias("hod"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    per_h = e.groupBy("hod").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1"),
+        F.sum("y").cast("bigint").alias("k1"),
+    )
+    tot = e.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nt"),
+        F.sum("y").cast("bigint").alias("kt"),
+    )
+    j = per_h.crossJoin(F.broadcast(tot)).select(
+        "hod",
+        "n1",
+        "k1",
+        (F.col("nt") - F.col("n1")).alias("n2"),
+        (F.col("kt") - F.col("k1")).alias("k2"),
+        F.col("kt"),
+        F.col("nt"),
+    )
+    p1 = F.col("k1").cast("double") / F.col("n1")
+    p2 = F.col("k2").cast("double") / F.col("n2")
+    pp = F.col("kt").cast("double") / F.col("nt")
+    z = (p1 - p2) / F.sqrt(
+        pp * (F.lit(1.0) - pp) * (F.lit(1.0) / F.col("n1") + F.lit(1.0) / F.col("n2"))
+    )
+    return j.select(
+        "hod",
+        "n1",
+        "k1",
+        F.floor(F.lit(1e6) * z + F.lit(0.5)).cast("bigint").alias("z_micro"),
+        (F.abs(z) > F.lit(1.959963984540054)).alias("significant_95"),
+    ).orderBy("hod")
+
+
+_ORACLE_ZTEST = """
+WITH e AS (
+  SELECT cast(hour(ts) AS bigint) AS hod,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+per_h AS (
+  SELECT hod, count(*)::BIGINT AS n1, sum(y)::BIGINT AS k1 FROM e GROUP BY 1
+),
+tot AS (SELECT count(*)::BIGINT AS nt, sum(y)::BIGINT AS kt FROM e),
+j AS (
+  SELECT hod, n1, k1, (t.nt - n1) AS n2, (t.kt - k1) AS k2, t.kt, t.nt
+  FROM per_h CROSS JOIN tot t
+)
+SELECT hod, n1, k1,
+       cast(floor(1e6 * ((k1 * 1.0 / n1) - (k2 * 1.0 / n2))
+                  / sqrt((kt * 1.0 / nt) * (1.0 - kt * 1.0 / nt)
+                         * (1.0 / n1 + 1.0 / n2)) + 0.5) AS bigint) AS z_micro,
+       (abs(((k1 * 1.0 / n1) - (k2 * 1.0 / n2))
+            / sqrt((kt * 1.0 / nt) * (1.0 - kt * 1.0 / nt)
+                   * (1.0 / n1 + 1.0 / n2))) > 1.959963984540054) AS significant_95
+FROM j ORDER BY hod
+"""
+
+
+REGISTRY_EXT54: dict[str, QuerySpec] = {
+    "crosscorr_lead_lag": QuerySpec(
+        q_crosscorr_lead_lag, _oracle_crosscorr(), "X7 [EXT] lead-lag analysis"
+    ),
+    "quantile_normalize_deciles": QuerySpec(
+        q_quantile_normalize_deciles, _ORACLE_QNORM, "X7 [EXT] batch-effect correction"
+    ),
+    "two_proportion_ztest": QuerySpec(
+        q_two_proportion_ztest, _ORACLE_ZTEST, "X7 [EXT] A/B proportion test"
+    ),
+}

@@ -1575,6 +1575,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext52 import REGISTRY_EXT52
     from .registry_ext53 import REGISTRY_EXT53
     from .registry_ext54 import REGISTRY_EXT54
+    from .registry_ext55 import REGISTRY_EXT55
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1631,6 +1632,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT52)
     merged.update(REGISTRY_EXT53)
     merged.update(REGISTRY_EXT54)
+    merged.update(REGISTRY_EXT55)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

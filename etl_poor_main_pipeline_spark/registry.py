@@ -1576,6 +1576,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext53 import REGISTRY_EXT53
     from .registry_ext54 import REGISTRY_EXT54
     from .registry_ext55 import REGISTRY_EXT55
+    from .registry_ext56 import REGISTRY_EXT56
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1633,6 +1634,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT53)
     merged.update(REGISTRY_EXT54)
     merged.update(REGISTRY_EXT55)
+    merged.update(REGISTRY_EXT56)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

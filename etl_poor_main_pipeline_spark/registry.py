@@ -1577,6 +1577,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext54 import REGISTRY_EXT54
     from .registry_ext55 import REGISTRY_EXT55
     from .registry_ext56 import REGISTRY_EXT56
+    from .registry_ext57 import REGISTRY_EXT57
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1635,6 +1636,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT54)
     merged.update(REGISTRY_EXT55)
     merged.update(REGISTRY_EXT56)
+    merged.update(REGISTRY_EXT57)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

@@ -101,11 +101,19 @@ def main() -> None:
         "lsh_recall_audit",
         "dedup_minhash_lsh",
         "streaming_stream_join",
+        "streaming_left_join",
         "kcore_decomposition",
         "dedup_keep_best",
         "streaming_sessionize_totals",
         "triangle_count",
         "dedup_collapse_components",
+        # round-4 session heads: jaccard-pipeline consumers + wide scans
+        "partition_modularity",
+        "containment_dedup_pairs",
+        "textrank_keywords",
+        "trigram_like_index",
+        "matryoshka_overlap",
+        "poisson_bootstrap_ci",
     ]
     ordered = [(n, qs[n]) for n in HEAVY_FIRST if n in qs]
     ordered += [(n, fn) for n, fn in qs.items() if n not in HEAVY_FIRST]

@@ -125,6 +125,38 @@ AUDITED = [
         "equi_depth_histogram",
         "ntile semantics as distributed two-phase rank: range partitions + partitioned scans, no global window",
     ),
+    (
+        "ks_two_sample_drift",
+        "KS over domain-binned CDFs: integer-cent bins, per-type partitioned cumulative windows",
+    ),
+    (
+        "mann_whitney_u",
+        "rank-sum mid-ranks from the Blelloch prefix over a bins-sized frame, no global window",
+    ),
+    (
+        "rrf_hybrid_retrieval",
+        "hybrid fusion: two TakeOrdered top-k scans, ranks via triangular broadcast joins on k-bounded frames",
+    ),
+    (
+        "histogram_split_finder",
+        "GBDT split search: fact table reduces to per-(feature,bin) histograms; argmax over bins",
+    ),
+    (
+        "spatial_grid_join",
+        "radius self-join: 3x3 grid-cell probe bounds candidates by density, pure integer metres",
+    ),
+    (
+        "trigram_like_index",
+        "substring search: postings filtered to pattern trigrams before the candidate aggregate; verify on candidates only",
+    ),
+    (
+        "containment_dedup_pairs",
+        "asymmetric near-dup: lang block + size-ratio window, hashed-bigint set intersects",
+    ),
+    (
+        "lttb_downsample",
+        "series downsampling: per-bucket moment triples + bucket+/-1 equi-joins, integer cross-product argmax",
+    ),
 ]
 
 MARKERS = (

@@ -1579,6 +1579,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext56 import REGISTRY_EXT56
     from .registry_ext57 import REGISTRY_EXT57
     from .registry_ext58 import REGISTRY_EXT58
+    from .registry_ext59 import REGISTRY_EXT59
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1639,6 +1640,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT56)
     merged.update(REGISTRY_EXT57)
     merged.update(REGISTRY_EXT58)
+    merged.update(REGISTRY_EXT59)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

@@ -1580,6 +1580,8 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext57 import REGISTRY_EXT57
     from .registry_ext58 import REGISTRY_EXT58
     from .registry_ext59 import REGISTRY_EXT59
+    from .registry_ext60 import REGISTRY_EXT60
+    from .registry_ext61 import REGISTRY_EXT61
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1641,6 +1643,8 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT57)
     merged.update(REGISTRY_EXT58)
     merged.update(REGISTRY_EXT59)
+    merged.update(REGISTRY_EXT60)
+    merged.update(REGISTRY_EXT61)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

@@ -1582,6 +1582,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext59 import REGISTRY_EXT59
     from .registry_ext60 import REGISTRY_EXT60
     from .registry_ext61 import REGISTRY_EXT61
+    from .registry_ext62 import REGISTRY_EXT62
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1645,6 +1646,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT59)
     merged.update(REGISTRY_EXT60)
     merged.update(REGISTRY_EXT61)
+    merged.update(REGISTRY_EXT62)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

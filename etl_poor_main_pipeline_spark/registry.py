@@ -1583,6 +1583,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext60 import REGISTRY_EXT60
     from .registry_ext61 import REGISTRY_EXT61
     from .registry_ext62 import REGISTRY_EXT62
+    from .registry_ext63 import REGISTRY_EXT63
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1647,6 +1648,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT60)
     merged.update(REGISTRY_EXT61)
     merged.update(REGISTRY_EXT62)
+    merged.update(REGISTRY_EXT63)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

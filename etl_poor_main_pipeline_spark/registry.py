@@ -1584,6 +1584,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext61 import REGISTRY_EXT61
     from .registry_ext62 import REGISTRY_EXT62
     from .registry_ext63 import REGISTRY_EXT63
+    from .registry_ext64 import REGISTRY_EXT64
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1649,6 +1650,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT61)
     merged.update(REGISTRY_EXT62)
     merged.update(REGISTRY_EXT63)
+    merged.update(REGISTRY_EXT64)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

@@ -1585,6 +1585,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext62 import REGISTRY_EXT62
     from .registry_ext63 import REGISTRY_EXT63
     from .registry_ext64 import REGISTRY_EXT64
+    from .registry_ext65 import REGISTRY_EXT65
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1651,6 +1652,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT62)
     merged.update(REGISTRY_EXT63)
     merged.update(REGISTRY_EXT64)
+    merged.update(REGISTRY_EXT65)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

@@ -1586,6 +1586,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext63 import REGISTRY_EXT63
     from .registry_ext64 import REGISTRY_EXT64
     from .registry_ext65 import REGISTRY_EXT65
+    from .registry_ext66 import REGISTRY_EXT66
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1653,6 +1654,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT63)
     merged.update(REGISTRY_EXT64)
     merged.update(REGISTRY_EXT65)
+    merged.update(REGISTRY_EXT66)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

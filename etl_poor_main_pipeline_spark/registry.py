@@ -1587,6 +1587,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext64 import REGISTRY_EXT64
     from .registry_ext65 import REGISTRY_EXT65
     from .registry_ext66 import REGISTRY_EXT66
+    from .registry_ext67 import REGISTRY_EXT67
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1655,6 +1656,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT64)
     merged.update(REGISTRY_EXT65)
     merged.update(REGISTRY_EXT66)
+    merged.update(REGISTRY_EXT67)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

@@ -1588,6 +1588,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext65 import REGISTRY_EXT65
     from .registry_ext66 import REGISTRY_EXT66
     from .registry_ext67 import REGISTRY_EXT67
+    from .registry_ext68 import REGISTRY_EXT68
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1657,6 +1658,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT65)
     merged.update(REGISTRY_EXT66)
     merged.update(REGISTRY_EXT67)
+    merged.update(REGISTRY_EXT68)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

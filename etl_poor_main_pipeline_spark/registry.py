@@ -1589,6 +1589,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext66 import REGISTRY_EXT66
     from .registry_ext67 import REGISTRY_EXT67
     from .registry_ext68 import REGISTRY_EXT68
+    from .registry_ext69 import REGISTRY_EXT69
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1659,6 +1660,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT66)
     merged.update(REGISTRY_EXT67)
     merged.update(REGISTRY_EXT68)
+    merged.update(REGISTRY_EXT69)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

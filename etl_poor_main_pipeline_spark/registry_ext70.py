@@ -1,0 +1,477 @@
+"""Operator registry, wave 71: linear-algebra / ML primitives — PCA
+top component via power iteration, geometric median via Weiszfeld,
+and kNN label vote over the embedding corpus.
+
+Scale stances:
+- PCA power iteration: ONE distributed moment aggregate (the
+  embedding_covariance pattern: decimal sums, map-side combinable,
+  ~head-D^2 doubles of state per task); the 8 unrolled iterations are
+  pure EXPRESSIONS over the resulting 1-row frame — zero extra
+  shuffles, zero driver round trips, identical arithmetic text in
+  both engines (generated once, fed to selectExpr AND the oracle).
+- Weiszfeld: the honest iterative shape — each of the 4 iterations is
+  one full aggregate pass over the data against the previous
+  iterate's 1-ROW broadcast frame (no .collect() anywhere; the
+  intermediate y is micro-rounded so both engines chain identical
+  doubles). At 100 TB each pass is map-side-combinable; iteration
+  count is fixed, not data-dependent.
+- kNN vote: the small query set is broadcast against the corpus
+  (queries x corpus scoring is embarrassingly parallel); top-k and
+  the majority vote use QUERY-PARTITIONED windows only.
+
+Reference parity: none; [EXT] X3/X7 tier per BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .registry import QuerySpec, _t
+from .registry_ext68 import _cos_micro_expr
+
+# --------------------------------------------------------------------------
+# PCA top component via power iteration (X3/X7 [EXT])
+# --------------------------------------------------------------------------
+
+_PCA_D = 8  # head dims (embedding_covariance precedent)
+_PCA_ITERS = 8
+_PCA_SQUARINGS = 4  # iterate on C^(2^4): effective C^128 after 8 steps
+
+
+def _pca_cov_exprs() -> list[str]:
+    """Covariance-matrix column exprs c_{i}_{j} from the moment row
+    (identical text both engines; micro-rounded so downstream chains
+    start from identical doubles)."""
+    out = []
+    for i in range(_PCA_D):
+        for j in range(_PCA_D):
+            lo, hi = min(i, j), max(i, j)
+            out.append(
+                f"floor((ss_{lo}_{hi} / n - (s_{i} / n) * (s_{j} / n)) * 1e6 + 0.5)"
+                f" / 1e6 AS c_{i}_{j}"
+            )
+    return out
+
+
+def _mat_name(t: int) -> str:
+    return "c" if t == 0 else f"a{t}"
+
+
+def _pca_square_exprs() -> list[list[str]]:
+    """Matrix-squaring levels: a{t+1} = a{t} @ a{t} (a0 = c). Squaring
+    squares the eigengap each level, so 8 iterations on C^(2^S) act
+    like 8*2^S plain power iterations — the fix for near-isotropic
+    spectra where plain iteration stalls."""
+    levels = []
+    for t in range(_PCA_SQUARINGS):
+        p = _mat_name(t)
+        nxt = _mat_name(t + 1)
+        levels.append(
+            [
+                " + ".join(f"{p}_{i}_{k} * {p}_{k}_{j}" for k in range(_PCA_D))
+                + f" AS {nxt}_{i}_{j}"
+                for i in range(_PCA_D)
+                for j in range(_PCA_D)
+            ]
+        )
+    return levels
+
+
+def _pca_iter_exprs() -> list[tuple[list[str], list[str], list[str]]]:
+    """Per-iteration (matvec, norm, renormalize) expr lists; versioned
+    column names so no level shadows another (lateral-alias hazard)."""
+    a = _mat_name(_PCA_SQUARINGS)
+    steps = []
+    for k in range(_PCA_ITERS):
+        mv = [
+            " + ".join(f"v{k}_{i} * {a}_{i}_{j}" for i in range(_PCA_D))
+            + f" AS u{k}_{j}"
+            for j in range(_PCA_D)
+        ]
+        nrm = [
+            "sqrt(" + " + ".join(f"u{k}_{j} * u{k}_{j}" for j in range(_PCA_D)) + ")"
+            f" AS nrm{k}"
+        ]
+        vnext = [f"u{k}_{j} / nrm{k} AS v{k + 1}_{j}" for j in range(_PCA_D)]
+        steps.append((mv, nrm, vnext))
+    return steps
+
+
+def _pca_final_exprs() -> tuple[list[str], list[str]]:
+    """(rayleigh matvec on the ORIGINAL c, outputs): the eigenvalue is
+    ||C v|| with v the converged unit vector — the squared matrices
+    only steer the direction."""
+    n = _PCA_ITERS
+    ray = [
+        " + ".join(f"v{n}_{i} * c_{i}_{j}" for i in range(_PCA_D)) + f" AS f_{j}"
+        for j in range(_PCA_D)
+    ]
+    sgn = f"(CASE WHEN v{n}_0 >= 0 THEN 1.0 ELSE -1.0 END)"
+    out = [
+        "cast(floor(sqrt("
+        + " + ".join(f"f_{j} * f_{j}" for j in range(_PCA_D))
+        + ") * 1e6 + 0.5) as bigint) AS eigval_micro"
+    ]
+    out += [
+        f"cast(floor({sgn} * v{n}_{j} * 1e6 + 0.5) as bigint) AS loading_micro_{j}"
+        for j in range(_PCA_D)
+    ]
+    return ray, out
+
+
+def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] X3/X7 top principal component of the head-{d} embedding
+    block: {s} matrix squarings then {k} unrolled power iterations on
+    C^(2^{s}) — effective C^{eff}, which converges even on the
+    near-isotropic spectra where plain iteration stalls. One
+    distributed decimal-summed moment aggregate (map-side combinable;
+    ~{d}x{d} doubles of state), then squarings + iterations run as
+    pure expressions over the 1-row moment frame — no extra shuffle,
+    no driver loop. Loadings are sign-fixed (first component
+    non-negative) and micro-rounded; the eigenvalue is ||C v|| on the
+    ORIGINAL covariance. The shared expression text is fed to BOTH
+    engines, so every IEEE op happens in the same order.""".format(
+        d=_PCA_D, k=_PCA_ITERS, s=_PCA_SQUARINGS, eff=_PCA_ITERS * 2**_PCA_SQUARINGS
+    )
+    e = _t(spark, sf_dir, "embeddings")
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for i in range(_PCA_D):
+        xi = F.element_at("embedding", i + 1).cast("double")
+        aggs.append(F.sum(xi.cast("decimal(28,10)")).cast("double").alias(f"s_{i}"))
+        for j in range(i, _PCA_D):
+            xj = F.element_at("embedding", j + 1).cast("double")
+            aggs.append(
+                F.sum((xi * xj).cast("decimal(28,10)"))
+                .cast("double")
+                .alias(f"ss_{i}_{j}")
+            )
+    cur = e.agg(*aggs).selectExpr(*_pca_cov_exprs())
+    for level in _pca_square_exprs():
+        # coalesce(1) is a no-op on the 1-row frame but blocks projection
+        # collapse, which would expand the matrix-product chain 8^S-fold
+        cur = cur.selectExpr("*", *level).coalesce(1)
+    cur = cur.selectExpr(
+        "*",
+        *[f"cast({1.0 if i == 0 else 0.0} as double) AS v0_{i}" for i in range(_PCA_D)],
+    )
+    for mv, nrm, vnext in _pca_iter_exprs():
+        cur = (
+            cur.selectExpr("*", *mv)
+            .selectExpr("*", *nrm)
+            .selectExpr("*", *vnext)
+            .coalesce(1)
+        )
+    ray, out = _pca_final_exprs()
+    return cur.selectExpr("*", *ray).selectExpr(*out)
+
+
+def _oracle_pca() -> str:
+    moment_exprs = ["cast(count(*) AS double) AS n"]
+    for i in range(_PCA_D):
+        moment_exprs.append(
+            f"cast(sum(cast(cast(embedding[{i + 1}] AS double) AS decimal(28,10))) "
+            f"AS double) AS s_{i}"
+        )
+        for j in range(i, _PCA_D):
+            moment_exprs.append(
+                f"cast(sum(cast(cast(embedding[{i + 1}] AS double) * "
+                f"cast(embedding[{j + 1}] AS double) AS decimal(28,10))) "
+                f"AS double) AS ss_{i}_{j}"
+            )
+    sql = "WITH m AS (SELECT " + ", ".join(moment_exprs) + " FROM embeddings),\n"
+    sql += "cov AS MATERIALIZED (SELECT " + ", ".join(_pca_cov_exprs()) + " FROM m)"
+    prev = "cov"
+    # every level MATERIALIZED: plain CTEs re-inline and the matrix
+    # product chain would expand 8^S-fold (the MMR precedent)
+    for t, level in enumerate(_pca_square_exprs()):
+        sql += (
+            f",\nsq{t} AS MATERIALIZED (SELECT {prev}.*, "
+            + ", ".join(level)
+            + f" FROM {prev})"
+        )
+        prev = f"sq{t}"
+    sql += (
+        f",\nit0 AS MATERIALIZED (SELECT {prev}.*, "
+        + ", ".join(
+            f"cast({1.0 if i == 0 else 0.0} AS double) AS v0_{i}" for i in range(_PCA_D)
+        )
+        + f" FROM {prev})"
+    )
+    prev = "it0"
+    for k, (mv, nrm, vnext) in enumerate(_pca_iter_exprs()):
+        sql += f",\nmv{k} AS MATERIALIZED (SELECT {prev}.*, " + ", ".join(mv) + f" FROM {prev})"
+        sql += f",\nnm{k} AS MATERIALIZED (SELECT mv{k}.*, " + ", ".join(nrm) + f" FROM mv{k})"
+        sql += (
+            f",\nit{k + 1} AS MATERIALIZED (SELECT nm{k}.*, "
+            + ", ".join(vnext)
+            + f" FROM nm{k})"
+        )
+        prev = f"it{k + 1}"
+    ray, out = _pca_final_exprs()
+    sql += f",\nray AS MATERIALIZED (SELECT {prev}.*, " + ", ".join(ray) + f" FROM {prev})"
+    sql += "\nSELECT " + ", ".join(out) + " FROM ray"
+    return sql
+
+
+# --------------------------------------------------------------------------
+# Geometric median via Weiszfeld iterations (X3/X7 [EXT])
+# --------------------------------------------------------------------------
+
+_GM_D = 8
+_GM_ITERS = 4
+
+
+def _gm_dist_expr(k: int) -> str:
+    """Euclidean distance of (x_0..x_{D-1}) from iterate y{k}, with the
+    standard Weiszfeld epsilon guard; identical text both engines."""
+    ss = " + ".join(f"(x_{j} - y{k}_{j}) * (x_{j} - y{k}_{j})" for j in range(_GM_D))
+    return f"greatest(sqrt({ss}), 1e-9)"
+
+
+def q_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] X3/X7 geometric median (L1-optimal robust centroid) of
+    the head-{d} embedding block: {k} Weiszfeld iterations, each ONE
+    map-side-combinable aggregate pass against the previous iterate's
+    1-row broadcast frame — no .collect() in the loop, fixed
+    iteration count. Iterates are micro-rounded between passes so
+    both engines chain identical doubles; numerator/denominator sums
+    run through decimal for order-independence. Reports the median
+    coordinates plus the objective (mean distance) at the start and
+    end — descent is part of the contract.""".format(d=_GM_D, k=_GM_ITERS)
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.selectExpr(
+        *[f"cast(element_at(embedding, {j + 1}) as double) AS x_{j}" for j in range(_GM_D)]
+    )
+    y = ex.agg(
+        F.count(F.lit(1)).cast("double").alias("n0"),
+        *[
+            F.sum(F.col(f"x_{j}").cast("decimal(28,10)")).cast("double").alias(f"sx_{j}")
+            for j in range(_GM_D)
+        ],
+    ).selectExpr(
+        *[f"floor(1e6 * sx_{j} / n0 + 0.5) / 1e6 AS y0_{j}" for j in range(_GM_D)]
+    )
+    obj_col = None
+    for k in range(_GM_ITERS):
+        dist = _gm_dist_expr(k)
+        stage = ex.crossJoin(F.broadcast(y)).selectExpr(
+            "*",
+            f"{dist} AS d{k}",
+            f"1.0 / {dist} AS w{k}",
+        )
+        aggs = [
+            F.sum(F.col(f"d{k}").cast("decimal(28,10)")).cast("double").alias(f"sd{k}"),
+            F.sum(F.col(f"w{k}").cast("decimal(28,10)")).cast("double").alias(f"sw{k}"),
+            F.count(F.lit(1)).cast("double").alias(f"cnt{k}"),
+        ]
+        aggs += [
+            F.sum((F.col(f"x_{j}") * F.col(f"w{k}")).cast("decimal(28,10)"))
+            .cast("double")
+            .alias(f"sxw{k}_{j}")
+            for j in range(_GM_D)
+        ]
+        if obj_col is not None:
+            aggs.append(F.max(obj_col).alias(f"carry{k}"))
+        red = stage.agg(*aggs)
+        keep = [f"floor(1e6 * sd{k} / cnt{k} + 0.5) AS obj{k}_micro"]
+        if obj_col is not None:
+            keep.append(f"carry{k} AS obj0_micro")
+        y = red.selectExpr(
+            *keep,
+            *[
+                f"floor(1e6 * sxw{k}_{j} / sw{k} + 0.5) / 1e6 AS y{k + 1}_{j}"
+                for j in range(_GM_D)
+            ],
+        )
+        obj_col = "obj0_micro" if obj_col is not None else f"obj{k}_micro"
+    last = _GM_ITERS
+    return y.selectExpr(
+        "cast(obj0_micro as bigint) AS obj_start_micro",
+        f"cast(obj{last - 1}_micro as bigint) AS obj_last_micro",
+        *[
+            f"cast(floor(y{last}_{j} * 1e6 + 0.5) as bigint) AS y_micro_{j}"
+            for j in range(_GM_D)
+        ],
+    )
+
+
+def _oracle_geometric_median() -> str:
+    sql = (
+        "WITH ex AS (SELECT "
+        + ", ".join(f"cast(embedding[{j + 1}] AS double) AS x_{j}" for j in range(_GM_D))
+        + " FROM embeddings),\n"
+    )
+    sql += (
+        "m0 AS (SELECT cast(count(*) AS double) AS n0, "
+        + ", ".join(
+            f"cast(sum(cast(x_{j} AS decimal(28,10))) AS double) AS sx_{j}"
+            for j in range(_GM_D)
+        )
+        + " FROM ex),\n"
+    )
+    sql += (
+        "y0 AS (SELECT "
+        + ", ".join(
+            f"floor(1e6 * sx_{j} / n0 + 0.5) / 1e6 AS y0_{j}" for j in range(_GM_D)
+        )
+        + " FROM m0)"
+    )
+    prev_y = "y0"
+    for k in range(_GM_ITERS):
+        dist = _gm_dist_expr(k)
+        sql += (
+            f",\nst{k} AS (SELECT ex.*, {prev_y}.*, {dist} AS d{k}, "
+            f"1.0 / {dist} AS w{k} FROM ex CROSS JOIN {prev_y})"
+        )
+        aggs = [
+            f"cast(sum(cast(d{k} AS decimal(28,10))) AS double) AS sd{k}",
+            f"cast(sum(cast(w{k} AS decimal(28,10))) AS double) AS sw{k}",
+            f"cast(count(*) AS double) AS cnt{k}",
+        ]
+        aggs += [
+            f"cast(sum(cast(x_{j} * w{k} AS decimal(28,10))) AS double) AS sxw{k}_{j}"
+            for j in range(_GM_D)
+        ]
+        if k > 0:
+            aggs.append("max(obj0_micro) AS carry")
+        sql += f",\nrd{k} AS (SELECT " + ", ".join(aggs) + f" FROM st{k})"
+        keep = [
+            f"floor(1e6 * sd{k} / cnt{k} + 0.5) AS obj{k}_micro"
+            if k == 0
+            else f"floor(1e6 * sd{k} / cnt{k} + 0.5) AS obj{k}_micro, carry AS obj0_micro"
+        ]
+        if k == 0:
+            keep = [f"floor(1e6 * sd{k} / cnt{k} + 0.5) AS obj0_micro"]
+        else:
+            keep = [
+                f"floor(1e6 * sd{k} / cnt{k} + 0.5) AS obj{k}_micro",
+                "carry AS obj0_micro",
+            ]
+        sql += (
+            f",\ny{k + 1} AS (SELECT "
+            + ", ".join(
+                keep
+                + [
+                    f"floor(1e6 * sxw{k}_{j} / sw{k} + 0.5) / 1e6 AS y{k + 1}_{j}"
+                    for j in range(_GM_D)
+                ]
+            )
+            + f" FROM rd{k})"
+        )
+        prev_y = f"y{k + 1}"
+    last = _GM_ITERS
+    sql += (
+        "\nSELECT cast(obj0_micro AS bigint) AS obj_start_micro, "
+        f"cast(obj{last - 1}_micro AS bigint) AS obj_last_micro, "
+        + ", ".join(
+            f"cast(floor(y{last}_{j} * 1e6 + 0.5) AS bigint) AS y_micro_{j}"
+            for j in range(_GM_D)
+        )
+        + f" FROM {prev_y}"
+    )
+    return sql
+
+
+# --------------------------------------------------------------------------
+# kNN label vote (X3 [EXT])
+# --------------------------------------------------------------------------
+
+_KNN_K = 5
+_KNN_QMOD = 20  # vec_id % 20 == 0 -> query set
+
+
+def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] X3 k-nearest-neighbor label vote: every vec_id %
+    {m} == 0 vector is held out and its label predicted by majority
+    vote of its {k} nearest corpus neighbors (cosine micro-ints, id
+    tie-breaks; vote ties break to the smaller label). The query set
+    is BROADCAST against the corpus — scoring is embarrassingly
+    parallel — and both the top-k cut and the vote use
+    query-partitioned windows only. The per-query verdict rows are
+    the audit surface a labeling-QA pipeline consumes.""".format(
+        m=_KNN_QMOD, k=_KNN_K
+    )
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % _KNN_QMOD == 0).selectExpr(
+        "vec_id AS qid",
+        "cast(embedding as array<double>) AS qe",
+        "label AS true_label",
+    )
+    c = e.where(F.col("vec_id") % _KNN_QMOD != 0).selectExpr(
+        "vec_id AS nid", "cast(embedding as array<double>) AS ne", "label AS nlabel"
+    )
+    sim = _cos_micro_expr("ne", "qe")
+    scored = c.crossJoin(F.broadcast(q)).selectExpr(
+        "qid", "true_label", "nid", "nlabel", f"{sim} AS sim"
+    )
+    wnn = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    top = scored.withColumn("rnk", F.row_number().over(wnn)).where(
+        F.col("rnk") <= _KNN_K
+    )
+    votes = top.groupBy("qid", "true_label", "nlabel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("votes"),
+        F.max("sim").alias("best_sim"),
+    )
+    wv = Window.partitionBy("qid").orderBy(
+        F.desc("votes"), F.asc("nlabel")
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .where(F.col("vr") == 1)
+        .select(
+            "qid",
+            "true_label",
+            F.col("nlabel").cast("bigint").alias("pred_label"),
+            "votes",
+            "best_sim",
+            (F.col("nlabel") == F.col("true_label")).alias("correct"),
+        )
+        .orderBy("qid")
+    )
+
+
+_ORACLE_KNN = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qe, label AS true_label
+  FROM embeddings WHERE vec_id % {_KNN_QMOD} = 0
+),
+c AS (
+  SELECT vec_id AS nid, embedding::DOUBLE[] AS ne, label AS nlabel
+  FROM embeddings WHERE vec_id % {_KNN_QMOD} <> 0
+),
+scored AS (
+  SELECT q.qid, q.true_label, c.nid, c.nlabel,
+         cast(floor(1e6 * list_cosine_similarity(c.ne, q.qe) + 0.5) AS bigint) AS sim
+  FROM c CROSS JOIN q
+),
+top AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rnk
+    FROM scored
+  ) WHERE rnk <= {_KNN_K}
+),
+votes AS (
+  SELECT qid, true_label, nlabel, count(*)::BIGINT AS votes, max(sim) AS best_sim
+  FROM top GROUP BY qid, true_label, nlabel
+)
+SELECT qid, true_label, cast(nlabel AS bigint) AS pred_label, votes, best_sim,
+       nlabel = true_label AS correct
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY votes DESC, nlabel ASC) AS vr
+  FROM votes
+) WHERE vr = 1
+ORDER BY qid
+"""
+
+
+REGISTRY_EXT70: dict[str, QuerySpec] = {
+    "pca_power_iteration": QuerySpec(
+        q_pca_power_iteration, _oracle_pca(), "X3/X7 [EXT] PCA top component"
+    ),
+    "geometric_median_weiszfeld": QuerySpec(
+        q_geometric_median, _oracle_geometric_median(), "X3/X7 [EXT] robust centroid"
+    ),
+    "knn_label_vote": QuerySpec(q_knn_label_vote, _ORACLE_KNN, "X3 [EXT] kNN vote"),
+}

@@ -1593,6 +1593,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext70 import REGISTRY_EXT70
     from .registry_ext71 import REGISTRY_EXT71
     from .registry_ext72 import REGISTRY_EXT72
+    from .registry_ext73 import REGISTRY_EXT73
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1667,6 +1668,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT70)
     merged.update(REGISTRY_EXT71)
     merged.update(REGISTRY_EXT72)
+    merged.update(REGISTRY_EXT73)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

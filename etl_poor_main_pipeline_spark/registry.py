@@ -1594,6 +1594,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext71 import REGISTRY_EXT71
     from .registry_ext72 import REGISTRY_EXT72
     from .registry_ext73 import REGISTRY_EXT73
+    from .registry_ext74 import REGISTRY_EXT74
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1669,6 +1670,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT71)
     merged.update(REGISTRY_EXT72)
     merged.update(REGISTRY_EXT73)
+    merged.update(REGISTRY_EXT74)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

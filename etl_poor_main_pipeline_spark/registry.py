@@ -1595,6 +1595,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext72 import REGISTRY_EXT72
     from .registry_ext73 import REGISTRY_EXT73
     from .registry_ext74 import REGISTRY_EXT74
+    from .registry_ext75 import REGISTRY_EXT75
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1671,6 +1672,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT72)
     merged.update(REGISTRY_EXT73)
     merged.update(REGISTRY_EXT74)
+    merged.update(REGISTRY_EXT75)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

@@ -1596,6 +1596,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext73 import REGISTRY_EXT73
     from .registry_ext74 import REGISTRY_EXT74
     from .registry_ext75 import REGISTRY_EXT75
+    from .registry_ext76 import REGISTRY_EXT76
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1673,6 +1674,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT73)
     merged.update(REGISTRY_EXT74)
     merged.update(REGISTRY_EXT75)
+    merged.update(REGISTRY_EXT76)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

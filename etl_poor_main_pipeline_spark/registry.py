@@ -1597,6 +1597,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext74 import REGISTRY_EXT74
     from .registry_ext75 import REGISTRY_EXT75
     from .registry_ext76 import REGISTRY_EXT76
+    from .registry_ext77 import REGISTRY_EXT77
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1675,6 +1676,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT74)
     merged.update(REGISTRY_EXT75)
     merged.update(REGISTRY_EXT76)
+    merged.update(REGISTRY_EXT77)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

@@ -1598,6 +1598,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext75 import REGISTRY_EXT75
     from .registry_ext76 import REGISTRY_EXT76
     from .registry_ext77 import REGISTRY_EXT77
+    from .registry_ext78 import REGISTRY_EXT78
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1677,6 +1678,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT75)
     merged.update(REGISTRY_EXT76)
     merged.update(REGISTRY_EXT77)
+    merged.update(REGISTRY_EXT78)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

@@ -1599,6 +1599,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext76 import REGISTRY_EXT76
     from .registry_ext77 import REGISTRY_EXT77
     from .registry_ext78 import REGISTRY_EXT78
+    from .registry_ext79 import REGISTRY_EXT79
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1679,6 +1680,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT76)
     merged.update(REGISTRY_EXT77)
     merged.update(REGISTRY_EXT78)
+    merged.update(REGISTRY_EXT79)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from .operators.scan_prefix import global_rank_zero
 from .registry import QuerySpec, _t
+from .sources.read import hour_of_day
 
 # --------------------------------------------------------------------------
 # Distributed CUME_DIST / PERCENT_RANK (X7 window twin [EXT])
@@ -79,7 +80,7 @@ def q_seasonal_decompose_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two grouped aggregates + one broadcast profile join."""
     e = _t(spark, sf_dir, "events").select(
         "event_type",
-        F.hour("ts").alias("hod"),
+        hour_of_day("ts").alias("hod"),
         F.floor(F.lit(1e6) * F.col("value") + F.lit(0.5))
         .cast("bigint")
         .alias("v_micro"),
@@ -104,7 +105,7 @@ def q_seasonal_decompose_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_SEASONAL = """
 WITH e AS (
-  SELECT event_type, extract(hour FROM ts) AS hod,
+  SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hod,
          cast(floor(1000000.0 * value + 0.5) AS bigint) AS v_micro
   FROM events
 ),

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .registry import QuerySpec, _t
+from .sources.read import hour_of_day
 
 # --------------------------------------------------------------------------
 # Histogram split finder (X7 [EXT])
@@ -47,11 +48,16 @@ def q_histogram_split_finder(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows; the split score maximizes
     (posL^2+negL^2)/nL + (posR^2+negR^2)/nR — exact-int numerators,
     two IEEE divisions, deterministic across engines. Ties break on
-    the smallest bin.""".format(pos=_SPLIT_POS)
+    the smallest bin. The hour feature is pure integer arithmetic on
+    unix_micros (sources.read.hour_of_day) — no calendar extraction,
+    so the bin contents are identical under every hosting session's
+    timezone/read-path posture (round-4 driver divergence).""".format(
+        pos=_SPLIT_POS
+    )
     e = _t(spark, sf_dir, "events").select(
         F.when(F.col("event_type") == _SPLIT_POS, 1).otherwise(0).alias("y"),
         F.floor(F.col("value") / F.lit(10.0)).cast("bigint").alias("value_bin"),
-        F.hour("ts").cast("bigint").alias("hour_bin"),
+        hour_of_day("ts").alias("hour_bin"),
     )
     hist = (
         e.select(F.lit("value").alias("feature"), F.col("value_bin").alias("bin"), "y")
@@ -122,7 +128,7 @@ _ORACLE_SPLIT = f"""
 WITH e AS (
   SELECT CASE WHEN event_type = '{_SPLIT_POS}' THEN 1 ELSE 0 END AS y,
          cast(floor(value / 10.0) AS bigint) AS value_bin,
-         cast(hour(ts) AS bigint) AS hour_bin
+         cast((epoch_us(ts) // 3600000000) % 24 AS bigint) AS hour_bin
   FROM events
 ),
 long AS (

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .registry import QuerySpec, _t
+from .sources.read import hour_of_day
 
 # --------------------------------------------------------------------------
 # Lead-lag cross-correlation (X7 [EXT])
@@ -218,7 +219,7 @@ def q_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistic is exact-int arithmetic through one sqrt and lands on a
     micro-int; the frame is 24-bounded."""
     e = _t(spark, sf_dir, "events").select(
-        F.hour("ts").cast("bigint").alias("hod"),
+        hour_of_day("ts").alias("hod"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
     )
     per_h = e.groupBy("hod").agg(
@@ -255,7 +256,7 @@ def q_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_ZTEST = """
 WITH e AS (
-  SELECT cast(hour(ts) AS bigint) AS hod,
+  SELECT cast((epoch_us(ts) // 3600000000) % 24 AS bigint) AS hod,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
   FROM events
 ),

@@ -93,19 +93,51 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
             # hosting session kept NTZ inference on: reinterpret the naive
-            # value in the UTC session zone (identical wall clock) so the
-            # timestamp function surface (unix_micros, window()) applies
-            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+            # value so that unix_micros(ts) == the stored naive micros under
+            # ANY session timezone. A bare NTZ->TIMESTAMP cast interprets the
+            # wall clock in the session zone (instant shifts by the zone
+            # offset when the hosting session is not UTC); shifting the wall
+            # clock into the session zone first makes the cast land on the
+            # naive-as-UTC instant exactly — verified equal to the parquet
+            # int64 micros under UTC and America/New_York sessions.
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "cast(convert_timezone('UTC', current_timezone(), ts)"
+                    " as timestamp)"
+                ),
+            )
         return df
     except Exception:
-        import pyarrow.parquet as pq
+        return _read_events_arrow(spark, path)
 
-        tbl = pq.read_table(path)
-        ts_idx = tbl.schema.get_field_index("ts")
-        import pyarrow as pa
 
-        tbl = tbl.set_column(ts_idx, "ts", tbl.column("ts").cast(pa.timestamp("us")))
-        return spark.createDataFrame(tbl.to_pandas())
+def _read_events_arrow(spark: SparkSession, path: str) -> DataFrame:
+    """Driver-side Arrow fallback for read_events (hosting session rejected
+    the parquet-read confs). Ships the timestamp as raw int64 micros and
+    rebuilds it JVM-side with timestamp_micros (an instant constructor): the
+    pandas->Spark timestamp conversion localizes naive values in the session
+    zone, which would shift the instant on non-UTC hosting sessions."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(path)
+    ts_idx = tbl.schema.get_field_index("ts")
+    tbl = tbl.set_column(
+        ts_idx, "ts", tbl.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+    )
+    df = spark.createDataFrame(tbl.to_pandas())
+    return df.withColumn("ts", F.timestamp_micros(F.col("ts")))
+
+
+def hour_of_day(colname: str = "ts"):
+    """Session-independent hour-of-day for an events timestamp: pure integer
+    arithmetic on unix_micros, ``(unix_micros(ts) div 3600e6) mod 24`` — no
+    calendar extraction, so the result is identical under every session
+    timezone and read path (read_events guarantees unix_micros == the stored
+    naive micros on all three of its paths). DuckDB twin:
+    ``(epoch_us(ts) // 3600000000) % 24``."""
+    return F.expr(f"pmod(unix_micros({colname}) div 3600000000, 24)").cast("bigint")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -1,0 +1,115 @@
+"""Driver-emulation parity: the round-4 driver graded `histogram_split_finder`
+red while the builder's tuned-session parity passed — the divergence lived in
+the hosting session's read/timezone posture, not the arithmetic
+(VERDICT.md round 4, What's wrong #1). These tests run the timestamp-exposed
+graded queries under sessions we did NOT build:
+
+1. a fully vanilla `SparkSession.builder.getOrCreate()` (default confs, the
+   driver's shape) — queries still tune it via `_t`, exactly as in the driver;
+2. a hostile posture (America/New_York timezone + TimestampNTZ inference ON)
+   where `read_events` must still deliver instants equal to the stored naive
+   micros, and `hour_of_day` must still equal the naive hour.
+
+Each posture runs in a SUBPROCESS so the suite's shared session fixture is
+untouched (stopping/rebuilding SparkSessions mid-suite corrupts it).
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+SF_DIR = "/root/testdata/sf0.001"
+
+# Graded queries whose output is a function of events.ts (the exposure class
+# of the round-4 red row).
+_TS_GRADED = [
+    "histogram_split_finder",
+    "time_bucket_agg",
+    "sessionization_gap30m",
+    "asof_join_events",
+    "two_proportion_ztest",
+    "seasonal_decompose_mean",
+]
+
+_VANILLA_SCRIPT = f"""
+import sys
+sys.path.insert(0, {str(REPO)!r})
+from pyspark.sql import SparkSession
+import tools.parity as par
+import __spark_entry__ as ent
+
+spark = SparkSession.builder.master("local[8]").config(
+    "spark.ui.enabled", "false").getOrCreate()
+con = par.duck_con({SF_DIR!r})
+qs, oracles = ent.queries(), ent.oracle_sql()
+fails = []
+for name in {_TS_GRADED!r}:
+    sdf = qs[name](spark, {SF_DIR!r}).toPandas()
+    odf = con.execute(oracles[name]).fetchdf()
+    if len(sdf) != len(odf):
+        fails.append(f"{{name}}: rows {{len(sdf)}} vs {{len(odf)}}")
+    elif par.value_hash(sdf) != par.value_hash(odf):
+        fails.append(f"{{name}}: value-hash mismatch")
+spark.stop()
+if fails:
+    print("FAIL: " + "; ".join(fails))
+    sys.exit(1)
+print("all parity OK")
+"""
+
+_HOSTILE_SCRIPT = f"""
+import sys
+sys.path.insert(0, {str(REPO)!r})
+import pyarrow.parquet as pq
+from pyspark.sql import SparkSession, functions as F
+
+path = {SF_DIR!r} + "/events.parquet"
+truth = sorted(pq.read_table(path).column("ts").cast("int64").to_pylist())
+
+spark = (SparkSession.builder.master("local[8]")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.session.timeZone", "America/New_York")
+         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+         .getOrCreate())
+from etl_poor_main_pipeline_spark.sources.read import (
+    read_events, _read_events_arrow, hour_of_day)
+
+for label, df in [
+    ("read_events", read_events(spark, {SF_DIR!r})),
+    ("arrow_fallback", _read_events_arrow(spark, path)),
+]:
+    got = sorted(r[0] for r in df.select(F.unix_micros("ts")).collect())
+    assert got == truth, f"{{label}}: unix_micros != stored naive micros"
+    bad = df.select(
+        (hour_of_day("ts") != F.expr(
+            "pmod(unix_micros(ts) div 3600000000, 24)")).alias("ne")
+    ).where("ne").count()
+    assert bad == 0, f"{{label}}: hour_of_day mismatch"
+spark.stop()
+print("instants invariant OK")
+"""
+
+
+def _run(script: str) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        cwd=str(REPO),
+        timeout=600,
+    )
+
+
+def test_ts_graded_queries_pass_under_vanilla_session():
+    res = _run(_VANILLA_SCRIPT)
+    assert res.returncode == 0, f"stdout={res.stdout[-2000:]} stderr={res.stderr[-2000:]}"
+    assert "all parity OK" in res.stdout
+
+
+def test_read_events_instants_invariant_under_hostile_posture():
+    res = _run(_HOSTILE_SCRIPT)
+    assert res.returncode == 0, f"stdout={res.stdout[-2000:]} stderr={res.stderr[-2000:]}"
+    assert "instants invariant OK" in res.stdout

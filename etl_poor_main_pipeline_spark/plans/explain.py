@@ -103,6 +103,101 @@ def assert_no_global_window(df: DataFrame) -> None:
         )
 
 
+#: Node names that bound a subtree's cardinality independent of corpus size:
+#: keyless aggregates (<=1 row; checked separately via Keys: []), explicit
+#: count limits, literal tables.
+_BOUNDING_NODES = ("GlobalLimit", "TakeOrderedAndProject", "CollectLimit", "LocalTableScan")
+_NESTED_LOOP_NODES = ("CartesianProduct", "BroadcastNestedLoopJoin")
+_RANGE_BOUND = 10_000  # a literal Range below this is a spine, not a corpus
+
+
+def _parse_plan_tree(plan: str) -> tuple[list[tuple[int, int, str]], dict[int, str]]:
+    """Parse the formatted physical-plan outline into
+    ``[(node_id, depth, node_name), ...]`` (pre-order) plus a node-id ->
+    detail-text map from the numbered details section."""
+    import re
+
+    outline: list[tuple[int, int, str]] = []
+    details: dict[int, str] = {}
+    cur_id = None
+    for raw in plan.splitlines():
+        m = re.match(r"^([:+\-| ]*)\*?\s*([A-Za-z][A-Za-z0-9 .$\[\]]*?)\s*\((\d+)\)\s*$", raw)
+        if m and not raw.lstrip().startswith("("):
+            prefix, name, nid = m.group(1), m.group(2).strip(), int(m.group(3))
+            outline.append((nid, len(prefix), name))
+            continue
+        m = re.match(r"^\((\d+)\)\s", raw.strip())
+        if m:
+            cur_id = int(m.group(1))
+            details[cur_id] = raw.strip()
+        elif cur_id is not None and raw.strip():
+            details[cur_id] = details.get(cur_id, "") + "\n" + raw.strip()
+        elif not raw.strip():
+            cur_id = None
+    return outline, details
+
+
+def _subtree_bounded(nodes: list[tuple[int, int, str]], details: dict[int, str]) -> bool:
+    """A subtree's output is corpus-size-independent if any node in it caps
+    cardinality: a LIMIT shape, a literal table, a keyless (<=1 row)
+    aggregate, or a small literal Range."""
+    import re
+
+    for nid, _, name in nodes:
+        head = name.split()[0]
+        if head in _BOUNDING_NODES:
+            return True
+        if "OneRowRelation" in name:  # literal spine (explode over 1 row)
+            return True
+        if head.endswith("Aggregate") and "Keys: []" in details.get(nid, ""):
+            return True
+        if head == "Range":
+            m = re.search(r"Range \((\-?\d+), (\-?\d+)", details.get(nid, ""))
+            if m and int(m.group(2)) - int(m.group(1)) <= _RANGE_BOUND:
+                return True
+    return False
+
+
+def unbounded_nested_loop_joins(df: DataFrame) -> list[str]:
+    """Nested-loop join nodes (CartesianProduct / BroadcastNestedLoopJoin)
+    where NEITHER input is provably cardinality-bounded — the
+    proportional-quadratic shape (round-4 defect class: a pair join whose
+    sides both scale with the corpus does O(N^2) work at 100 TB no matter
+    how honest it looks at sf0.1). Equality joins (SortMergeJoin /
+    BroadcastHashJoin / ShuffledHashJoin) never appear here: blocking on a
+    key IS the fix this guard enforces.
+
+    A side counts as bounded if its subtree contains a LIMIT
+    (GlobalLimit / TakeOrderedAndProject / CollectLimit — the hash-rank
+    fixed-count sample idiom), a keyless aggregate (<=1 row), a literal
+    LocalTableScan, or a Range below {bound} rows (a spine).
+    """.format(bound=_RANGE_BOUND)
+    outline, details = _parse_plan_tree(explain_str(df))
+    offenders: list[str] = []
+    for i, (nid, depth, name) in enumerate(outline):
+        if name.split()[0] not in _NESTED_LOOP_NODES:
+            continue
+        # operators/scan_prefix.py triangular close: the `_g_prev < _g`
+        # condition only ever joins the per-group totals frame, which is
+        # group_width (4096x) smaller than its input by construction —
+        # the documented bounded-reduction exception.
+        if "_g_prev" in details.get(nid, ""):
+            continue
+        # children: maximal consecutive subtrees at depth' > depth after i
+        subtrees: list[list[tuple[int, int, str]]] = []
+        j = i + 1
+        while j < len(outline) and outline[j][1] > depth:
+            child_depth = outline[j][1]
+            k = j + 1
+            while k < len(outline) and outline[k][1] > child_depth:
+                k += 1
+            subtrees.append(outline[j:k])
+            j = k
+        if not any(_subtree_bounded(st, details) for st in subtrees):
+            offenders.append(f"{name} ({nid})")
+    return offenders
+
+
 def codegen_stage_count(df: DataFrame) -> int:
     plan = explain_str(df)
     ids = {line.split("(")[1].split(")")[0] for line in plan.splitlines() if "WholeStageCodegen" in line and "(" in line}

@@ -114,7 +114,7 @@ ORDER BY event_type, day_idx
 # Kendall tau-b ranking agreement (X6/X7 [EXT])
 # --------------------------------------------------------------------------
 
-_TAU_SAMPLE_PREFIX = "8"  # md5 first hex digit < '8' -> deterministic half
+_TAU_SAMPLE_N = 1200  # FIXED-SIZE md5-ranked slice (constant pair count)
 
 
 def q_kendall_tau_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -122,13 +122,19 @@ def q_kendall_tau_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
     by n_chars and by whitespace token count — within each lang: do
     the two length notions rank the corpus the same way? Pairwise
     concordance is inherently quadratic, so pairs form per-lang on a
-    deterministic md5-prefix half-sample (stratified_sample_md5
-    idiom; documented cap, no RNG). Concordant / discordant / tie
-    counts are exact bigints from the blocked self-join; tau-b folds
-    in double from those identical ints."""
+    deterministic md5-ranked slice of FIXED size {n} (hash-rank
+    LIMIT — a TakeOrderedAndProject, per-partition top-N + driver
+    merge): the pair count is ~{n}^2/2 at ANY corpus size. (The
+    round-4 md5-prefix half-sample grew linearly, making the pair
+    count quadratic in the corpus — the scale defect this replaces.)
+    Concordant / discordant / tie counts are exact bigints from the
+    blocked self-join; tau-b folds in double from those identical
+    ints.""".format(n=_TAU_SAMPLE_N)
     d = (
         _t(spark, sf_dir, "documents")
-        .where(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < _TAU_SAMPLE_PREFIX)
+        .withColumn("mk", F.md5(F.col("doc_id").cast("string")))
+        .orderBy("mk")
+        .limit(_TAU_SAMPLE_N)
         .select(
             "doc_id",
             "lang",
@@ -137,6 +143,7 @@ def q_kendall_tau_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sy"
             ),
         )
+        .localCheckpoint()
     )
     a = d.alias("a")
     b = d.alias("b")
@@ -189,7 +196,7 @@ WITH d AS (
   SELECT doc_id, lang, n_chars::BIGINT AS sx,
          len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''))::BIGINT AS sy
   FROM documents
-  WHERE substr(md5(cast(doc_id AS varchar)), 1, 1) < '{_TAU_SAMPLE_PREFIX}'
+  ORDER BY md5(cast(doc_id AS varchar)) LIMIT {_TAU_SAMPLE_N}
 ),
 pairs AS (
   SELECT a.lang, a.sx - b.sx AS dx, a.sy - b.sy AS dy

@@ -157,35 +157,46 @@ ORDER BY channel
 # Blocking-scheme recall audit (X2 [EXT])
 # --------------------------------------------------------------------------
 
-_BLK_SAMPLE_PREFIX = "8"  # md5 half-sample (quadratic ground truth)
+_BLK_SAMPLE_N = 1000  # FIXED-SIZE md5-ranked slice (constant ground-truth cost)
 _BLK_THRESHOLD = 0.8
 
 
 def q_blocking_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] X2 blocking-scheme recall audit: ground-truth near-dup
     pairs (token Jaccard >= {t}) are computed WITHOUT blocking on a
-    deterministic md5 half-sample — quadratic by definition, which is
-    why the audit samples (at 100 TB you measure blocking recall on a
-    slice, never the corpus). Each candidate scheme (lang block,
-    +-16-char length band, both, first-token block) is a per-pair
-    flag; one conditional aggregate yields captured counts and recall.
-    On this synthetic corpus the audit EXPOSES that lang is
-    independent of the template text (lang+band recall ~2%), exactly
-    the failure mode this audit exists to catch before a blocking
-    choice ships.""".format(t=_BLK_THRESHOLD)
+    deterministic md5-ranked slice of FIXED size {n} (hash-rank LIMIT,
+    the count-bounded variant of the stratified_sample_md5 idiom) —
+    quadratic by definition, but on a constant-size frame, so the
+    ground-truth pair count (~{n}^2/2) does NOT grow with the corpus:
+    at 100 TB you measure blocking recall on the same half-million
+    pairs. (A proportional md5-prefix sample here was the round-4
+    scale defect: linear sample -> quadratic pairs.) The sort-limit is
+    a TakeOrderedAndProject (per-partition top-N + driver merge — no
+    global sort). Each candidate scheme (lang block, +-16-char length
+    band, both, first-token block) is a per-pair flag; one conditional
+    aggregate yields captured counts and recall. Token sets are
+    xxhash64'd Spark-side (bigint intersects beat string intersects
+    ~2x; the oracle keeps raw strings — set sizes agree). On this
+    synthetic corpus the audit EXPOSES that lang is independent of the
+    template text (lang+band recall ~2%), exactly the failure mode
+    this audit exists to catch before a blocking choice
+    ships.""".format(t=_BLK_THRESHOLD, n=_BLK_SAMPLE_N)
     d = (
         _t(spark, sf_dir, "documents")
-        .where(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < _BLK_SAMPLE_PREFIX
-        )
+        .withColumn("mk", F.md5(F.col("doc_id").cast("string")))
+        .orderBy("mk")
+        .limit(_BLK_SAMPLE_N)
         .selectExpr(
             "doc_id",
             "lang",
             "n_chars",
-            "array_distinct(filter(split(lower(text), '\\\\s+'), t -> t <> '')) as ts",
+            "array_distinct(transform(filter(split(lower(text), '\\\\s+'),"
+            " t -> t <> ''), t -> xxhash64(t))) as ts",
             "try_element_at(filter(split(lower(text), '\\\\s+'), t -> t <> ''), 1) as tok1",
         )
-        .localCheckpoint()
+        # no localCheckpoint: it would hide the LIMIT from the quadratic-
+        # join plan guard (tests/test_no_quadratic_selfjoin.py), and the
+        # recompute it saves is two 1000-row tokenizations — negligible
     )
     a, b = d.alias("a"), d.alias("b")
     pairs = (
@@ -237,7 +248,7 @@ WITH d AS (
          list_distinct(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS ts,
          list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')[1] AS tok1
   FROM documents
-  WHERE substr(md5(cast(doc_id AS varchar)), 1, 1) < '{_BLK_SAMPLE_PREFIX}'
+  ORDER BY md5(cast(doc_id AS varchar)) LIMIT {_BLK_SAMPLE_N}
 ),
 pairs AS (
   SELECT a.lang = b.lang AS f_lang,

@@ -8,7 +8,7 @@ from etl_poor_main_pipeline_spark.plans.explain import (
 )
 from etl_poor_main_pipeline_spark.registry_ext70 import (
     _KNN_K,
-    _KNN_QMOD,
+    _KNN_QN,
     _PCA_D,
     q_geometric_median,
     q_knn_label_vote,
@@ -58,12 +58,8 @@ def test_geometric_median_beats_mean_objective(spark):
 
 def test_knn_vote_rows_and_majority_bounds(spark):
     rows = q_knn_label_vote(spark, SF).collect()
-    n_q = (
-        load_table(spark, SF, "embeddings")
-        .where(f"vec_id % {_KNN_QMOD} = 0")
-        .count()
-    )
-    assert len(rows) == n_q
+    n_total = load_table(spark, SF, "embeddings").count()
+    assert len(rows) == min(_KNN_QN, n_total)
     for r in rows:
         assert 1 <= r.votes <= _KNN_K
         assert r.correct == (r.pred_label == r.true_label)

@@ -1,0 +1,96 @@
+"""Mechanized guard against the round-4 defect class: a nested-loop pair
+join (CartesianProduct / BroadcastNestedLoopJoin) whose inputs BOTH scale
+with the corpus does O(N^2) work at 100 TB no matter how fast it runs at
+sf0.1 (VERDICT.md round 4: proportional-sample quadratics — blocking
+recall audit at 24.5s, knn vote, kendall tau). Every batch registry query
+must plan every nested-loop join with at least one provably bounded side —
+a LIMIT / TakeOrderedAndProject (the hash-rank fixed-count sample idiom),
+a keyless aggregate, a literal table/spine — or appear on the sanctioned
+list below with a reason the detector cannot see.
+
+Sanctioned exceptions (all bounded by DOMAIN, not by plan shape — a
+grouping aggregate over a value-bounded key, which no plan inspection can
+distinguish from a grouping aggregate over an id):
+  * join_cross — SQL-surface CROSS JOIN demo over the two O(25)-row dims.
+  * range_join_band — the deliberate non-equi band-join demo; its own
+    docstring states banding keys converts it to equi at scale.
+  * ks_two_sample_drift — bins x event_type grid, both sides value-domain
+    aggregates (value deciles, ~5 event types).
+  * fanout_gini — Gini mean-absolute-difference over the order-fanout
+    value histogram (fanout values, not orders).
+  * contrastive_margin_stats / embedding_silhouette_margin — vectors x
+    label-centroids, centroid side bounded by the label domain.
+  * matryoshka_overlap — fixed-count query set selected by a constant
+    vec_id bound (a Filter, which the detector cannot size).
+  * retrieval_eval_metrics — triangular rank over the BM25 top-15; the
+    LIMIT is hidden behind a lazy localCheckpoint that feeds two sides.
+  * uplift_qini_by_score — cumulative sums over score-bucket aggregates
+    (bounded bucket domain).
+
+The scan_prefix triangular close (`_g_prev < _g`) is exempted inside the
+detector itself — its totals frame is group_width (4096x) smaller than the
+input by construction, the documented bounded-reduction idiom.
+
+Streaming queries are exercised in their own tests (building them here
+would re-run whole pipelines); skipped by prefix, same as the global
+window guard.
+"""
+
+from __future__ import annotations
+
+from etl_poor_main_pipeline_spark import registry
+from etl_poor_main_pipeline_spark.plans.explain import unbounded_nested_loop_joins
+
+SF = "/root/testdata/sf0.001"
+
+ALLOWED_NESTED_LOOP = {
+    "join_cross",
+    "range_join_band",
+    "ks_two_sample_drift",
+    "fanout_gini",
+    "contrastive_margin_stats",
+    "embedding_silhouette_margin",
+    "matryoshka_overlap",
+    "retrieval_eval_metrics",
+    "uplift_qini_by_score",
+}
+
+STREAM_PREFIXES = ("streaming_", "stream_")
+
+
+def test_no_unbounded_nested_loop_join_across_registry(spark):
+    qs = registry.queries()
+    offenders: dict[str, str] = {}
+    build_errors: dict[str, str] = {}
+    for name, fn in qs.items():
+        if name.startswith(STREAM_PREFIXES) or name in ALLOWED_NESTED_LOOP:
+            continue
+        try:
+            bad = unbounded_nested_loop_joins(fn(spark, SF))
+        except Exception as exc:  # noqa: BLE001 - report, don't mask peers
+            build_errors[name] = repr(exc)[:200]
+            continue
+        if bad:
+            offenders[name] = "; ".join(bad)[:200]
+    assert not build_errors, f"queries failed to build: {build_errors}"
+    assert not offenders, (
+        "nested-loop join with no bounded side (quadratic at scale) in: "
+        + "; ".join(f"{n}: {a}" for n, a in offenders.items())
+    )
+
+
+def test_sanctioned_nested_loops_still_nested(spark):
+    """The allowed list must stay honest: if a sanctioned query stops
+    planning an unbounded nested-loop join (someone bounded or keyed it),
+    drop it from ALLOWED_NESTED_LOOP rather than leaving a stale
+    exception."""
+    qs = registry.queries()
+    stale = [
+        name
+        for name in sorted(ALLOWED_NESTED_LOOP)
+        if not unbounded_nested_loop_joins(qs[name](spark, SF))
+    ]
+    assert not stale, (
+        f"no longer plan an unbounded nested-loop join: {stale}; remove "
+        "them from ALLOWED_NESTED_LOOP"
+    )

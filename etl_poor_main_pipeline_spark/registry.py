@@ -1600,6 +1600,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext77 import REGISTRY_EXT77
     from .registry_ext78 import REGISTRY_EXT78
     from .registry_ext79 import REGISTRY_EXT79
+    from .registry_ext80 import REGISTRY_EXT80
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1681,6 +1682,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT77)
     merged.update(REGISTRY_EXT78)
     merged.update(REGISTRY_EXT79)
+    merged.update(REGISTRY_EXT80)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered
@@ -1719,25 +1721,26 @@ _SWEEP_PRIORITY = [
     "ks_two_sample_drift",
     # wave-38 flagship: the scale-safe global-window twin (Blelloch rank)
     "distributed_cume_dist",
-    "set_intersect",
-    "string_functions",
     "sessionization_gap30m",
-    # dedup tier (X1/X2) incl. the oracle-paired approximate paths and the
-    # wave-28 quality-aware representative, plus the wave-20/26 iterative-
-    # graph heads over the same near-dup graph
+    # dedup tier (X1/X2) incl. the oracle-paired approximate paths; the
+    # round-5 rotation (VERDICT r4 #6) brings the never-driver-graded
+    # wave-56/59/76 dedup/linkage heads into the hard-signal window
+    # (rotated out, all graded green r1-r4: set_intersect,
+    # string_functions, dedup_keep_best, lsh_recall_audit,
+    # sketch_hll_mergeable, semdedup_prune — now head of the next block)
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_keep_best",
-    # wave-37 flagship: recall audit of the approximate dedup path
-    "lsh_recall_audit",
+    "containment_dedup_pairs",
+    "sorted_neighborhood_pairs",
+    "phash_grid_dedup",
+    "fellegi_sunter_linkage",
     "pagerank_docs",
     "kcore_decomposition",
-    # sketch tier (approx_count_distinct rotated past 50 — HLL already
-    # inside via the mergeable-partial flagship)
-    "sketch_hll_mergeable",
-    # wave-23 flagship: SemDeDup over embedding clusters
-    "semdedup_prune",
+    # wave-63 personalized restart vector over the same doc graph
+    "personalized_pagerank",
+    # stats-tier head never graded by the driver (waves 45-79)
+    "welch_t_test",
     # similarity tier (X3/X4)
     "similarity_topk_cosine",
     "similarity_ivf_topk",
@@ -1768,7 +1771,13 @@ _SWEEP_PRIORITY = [
     "stream_sink_manifest",
     # next block: remaining family heads a >50-budget grader reaches first
     # (head of block = the entries rotated out of the 50 across rounds,
-    # each graded green earlier: CORRECTNESS_r0{1,2,3}.json)
+    # each graded green earlier: CORRECTNESS_r0{1,2,3,4}.json)
+    "set_intersect",
+    "string_functions",
+    "dedup_keep_best",
+    "lsh_recall_audit",
+    "sketch_hll_mergeable",
+    "semdedup_prune",
     "window_row_number_topn",
     "similarity_pq_adc",
     "text_gopher_rules",

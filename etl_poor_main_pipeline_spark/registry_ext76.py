@@ -95,10 +95,17 @@ def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = v.agg(F.max("v").alias("vmax"))
     return (
         marg.groupBy("channel")
+        # each w*marginal term micro-rounds to an exact bigint BEFORE the
+        # sum (one correctly-rounded double product per term, identical in
+        # any engine), so the aggregate is order-independent — doubles
+        # accumulated across partitions are not (weights like 1/12 are
+        # inexact)
         .agg(
-            F.floor(
-                F.sum(F.col("w") * F.col("marginal").cast("double")) * F.lit(1e6)
-                + F.lit(0.5)
+            F.sum(
+                F.floor(
+                    F.col("w") * F.col("marginal").cast("double") * F.lit(1e6)
+                    + F.lit(0.5)
+                ).cast("bigint")
             )
             .cast("bigint")
             .alias("shapley_micro")
@@ -144,7 +151,8 @@ marg AS (
 ),
 total AS (SELECT max(v)::BIGINT AS vmax FROM v)
 SELECT channel,
-       cast(floor(sum(w * cast(marginal AS double)) * 1000000.0 + 0.5) AS bigint)
+       cast(sum(cast(floor(w * cast(marginal AS double) * 1000000.0 + 0.5)
+                     AS bigint)) AS bigint)
          AS shapley_micro,
        vmax AS v_full
 FROM marg CROSS JOIN total

@@ -92,7 +92,10 @@ def q_negative_sampling_contrastive(spark: SparkSession, sf_dir: str) -> DataFra
     """[EXT] X2/X8 contrastive training-pair generation: anchors are
     docs in bag-of-words duplicate groups (md5 of the sorted distinct
     token set — catches reordered near-copies; one hash aggregate);
-    the positive is the group's minimum OTHER member;
+    the positive is gmin for every non-minimum member and gmax for
+    the group minimum itself (for groups of size >= 3 this pairs the
+    minimum with the LARGEST member, not the second-smallest — both
+    engines encode the same rule, so parity is exact);
     each anchor draws {k} negative candidates from the deterministic
     hash ring (anchor*31 + j*97) mod N, resolved by an equi-join
     against the corpus, with candidates that collide with the anchor
@@ -140,7 +143,7 @@ def q_negative_sampling_contrastive(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-_ORACLE_NEGSAMPLE = f"""
+_ORACLE_NEGSAMPLE = rf"""
 WITH d AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
   list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''))), ' ')) AS fp
   FROM documents),

@@ -229,8 +229,10 @@ width AS (
 )
 SELECT e.event_type, m.n_cal, count(*)::BIGINT AS n_test, w.half_width,
        sum(CASE WHEN abs(e.vm - m.mu) <= w.half_width THEN 1 ELSE 0 END)::BIGINT AS n_covered,
-       cast(floor(sum(CASE WHEN abs(e.vm - m.mu) <= w.half_width THEN 1 ELSE 0 END)
-                  * 1000000.0 / count(*) + 0.5) AS bigint) AS coverage_micro
+       cast(floor(cast(sum(CASE WHEN abs(e.vm - m.mu) <= w.half_width
+                               THEN 1 ELSE 0 END) AS double)
+                  / cast(count(*) AS double) * 1000000.0 + 0.5)
+            AS bigint) AS coverage_micro
 FROM ev e JOIN mean m USING (event_type) JOIN width w USING (event_type)
 WHERE NOT e.is_cal
 GROUP BY e.event_type, m.n_cal, w.half_width

@@ -1602,6 +1602,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext79 import REGISTRY_EXT79
     from .registry_ext80 import REGISTRY_EXT80
     from .registry_ext81 import REGISTRY_EXT81
+    from .registry_ext82 import REGISTRY_EXT82
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1685,6 +1686,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT79)
     merged.update(REGISTRY_EXT80)
     merged.update(REGISTRY_EXT81)
+    merged.update(REGISTRY_EXT82)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

@@ -1604,6 +1604,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext81 import REGISTRY_EXT81
     from .registry_ext82 import REGISTRY_EXT82
     from .registry_ext83 import REGISTRY_EXT83
+    from .registry_ext84 import REGISTRY_EXT84
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1689,6 +1690,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT81)
     merged.update(REGISTRY_EXT82)
     merged.update(REGISTRY_EXT83)
+    merged.update(REGISTRY_EXT84)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .operators.dedup import spread
 from .registry import QuerySpec, _t
 
 # --------------------------------------------------------------------------
@@ -271,6 +272,33 @@ GROUP BY o.diff_obs_micro
 _WIN_K = 3  # tokens per k-gram
 _WIN_W = 4  # winnowing window (k-grams per window)
 
+_WIN_TOKS = "filter(split(lower(text), '\\\\s+'), t -> t <> '')"
+
+
+def win_gram_expr(tk: str = "tk") -> str:
+    """Spark SQL expression: array of 52-bit k-gram hashes over a
+    PRE-PROJECTED token-array column ``tk`` (shared by
+    winnowing_fingerprints and winnowing_candidate_pairs). Project the
+    tokenizer to a column first — inlining it would re-split the text
+    once per element access, quadratic per document."""
+    k = _WIN_K
+    return (
+        f"transform(sequence(1, size({tk}) - {k - 1}), i -> "
+        f"cast(conv(substring(md5(concat_ws(' ', "
+        + ", ".join(f"element_at({tk}, i + {d})" for d in range(k))
+        + ")), 1, 13), 16, 10) as bigint))"
+    )
+
+
+def win_fp_expr(gh: str = "gh") -> str:
+    """Spark SQL expression: distinct winnowed fingerprints of gram-hash
+    array column ``gh``."""
+    w = _WIN_W
+    return (
+        f"array_distinct(transform(sequence(1, size({gh}) - {w - 1}), i -> "
+        f"array_min(slice({gh}, i, {w}))))"
+    )
+
 
 def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] X2/X6 winnowing document fingerprints (the MOSS scheme):
@@ -282,23 +310,13 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     EQUI on fingerprint (the blocked dedup shape). Reports per doc the
     gram/fingerprint counts and the fingerprint-set min/max as the
     set's value signature.""".format(k=_WIN_K, w=_WIN_W)
-    k, w = _WIN_K, _WIN_W
-    toks = "filter(split(lower(text), '\\\\s+'), t -> t <> '')"
-    grams = (
-        f"transform(sequence(1, size({toks}) - {k - 1}), i -> "
-        f"cast(conv(substring(md5(concat_ws(' ', "
-        + ", ".join(f"element_at({toks}, i + {d})" for d in range(k))
-        + ")), 1, 13), 16, 10) as bigint))"
-    )
-    fps = (
-        f"array_distinct(transform(sequence(1, size(gh) - {w - 1}), i -> "
-        f"array_min(slice(gh, i, {w}))))"
-    )
+    w = _WIN_W
     return (
-        _t(spark, sf_dir, "documents")
-        .selectExpr("doc_id", f"{grams} as gh")
+        spread(_t(spark, sf_dir, "documents"))
+        .selectExpr("doc_id", f"{_WIN_TOKS} as tk")
+        .selectExpr("doc_id", f"{win_gram_expr()} as gh")
         .where(F.expr(f"size(gh) >= {w}"))
-        .selectExpr("doc_id", "size(gh) as n_grams", f"{fps} as fp")
+        .selectExpr("doc_id", "size(gh) as n_grams", f"{win_fp_expr()} as fp")
         .selectExpr(
             "doc_id",
             "cast(n_grams as bigint) as n_grams",

@@ -42,34 +42,48 @@ def q_containment_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     token set is >= {t:.0%} contained in the larger's —
     C(A,B) = |A n B| / |A| — the asymmetric relation that catches a
     snippet embedded in a long page, which resemblance (Jaccard)
-    scores low. Lang blocking plus a x{r} size-ratio window bounds
-    candidates exactly like the Jaccard tier; engine-side token sets
-    are xxhash64 bigints (fast intersects), the oracle uses raw
+    scores low. Candidates block on (lang, size band): the band is the
+    token-set size's exact BIT LENGTH (integer, engine-free), and the
+    small side explodes onto bands [b, b+2] — sz_b <= {r}*sz_a implies
+    bitlen(sz_b) <= bitlen(sz_a)+2, a strict candidate superset that
+    the exact predicate then decides. Without the band, the 5-value
+    lang key capped sort-merge parallelism at 5 tasks whenever AQE
+    kept the SMJ plan (20s standalone vs 3.4s when runtime stats
+    happened to flip it to broadcast — a flaky plan boundary this
+    banding removes; at 100 TB neither side broadcasts, so the banded
+    key IS the plan). Engine-side token sets are xxhash64 bigints
+    (fast intersects), the oracle uses raw
     strings.""".format(t=_CONT_THRESH, r=_CONT_MAX_RATIO)
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        "lang",
-        F.array_distinct(
-            F.transform(tokens_expr("text"), lambda t: F.xxhash64(t))
-        ).alias("hs"),
-    ).select("doc_id", "lang", "hs", F.size("hs").alias("sz")).localCheckpoint(
-        eager=False
+    toks = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.array_distinct(
+                F.transform(tokens_expr("text"), lambda t: F.xxhash64(t))
+            ).alias("hs"),
+        )
+        .select("doc_id", "lang", "hs", F.size("hs").alias("sz"))
+        # exact integer bit length of sz (number of binary digits)
+        .withColumn("band", F.length(F.conv(F.col("sz").cast("string"), 10, 2)))
+        .localCheckpoint(eager=False)
     )
-    a = toks.select(
-        F.col("doc_id").alias("id_small"),
+    a = toks.selectExpr(
+        "doc_id as id_small",
         "lang",
-        F.col("hs").alias("hs_a"),
-        F.col("sz").alias("sz_a"),
+        "hs as hs_a",
+        "sz as sz_a",
+        "explode(array(band, band + 1, band + 2)) as band",
     )
     b = toks.select(
         F.col("doc_id").alias("id_big"),
         "lang",
+        "band",
         F.col("hs").alias("hs_b"),
         F.col("sz").alias("sz_b"),
     )
     pairs = (
-        a.join(b, "lang")
+        a.join(b, ["lang", "band"])
         .where(
             (
                 (F.col("sz_a") < F.col("sz_b"))

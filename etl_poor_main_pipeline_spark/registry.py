@@ -1607,6 +1607,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext84 import REGISTRY_EXT84
     from .registry_ext85 import REGISTRY_EXT85
     from .registry_ext86 import REGISTRY_EXT86
+    from .registry_ext87 import REGISTRY_EXT87
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1695,6 +1696,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT84)
     merged.update(REGISTRY_EXT85)
     merged.update(REGISTRY_EXT86)
+    merged.update(REGISTRY_EXT87)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

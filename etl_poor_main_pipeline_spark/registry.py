@@ -1608,6 +1608,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext85 import REGISTRY_EXT85
     from .registry_ext86 import REGISTRY_EXT86
     from .registry_ext87 import REGISTRY_EXT87
+    from .registry_ext88 import REGISTRY_EXT88
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1697,6 +1698,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT85)
     merged.update(REGISTRY_EXT86)
     merged.update(REGISTRY_EXT87)
+    merged.update(REGISTRY_EXT88)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

@@ -11,6 +11,12 @@ variant):
     equivalent is equi_depth_histogram's two-phase rank.
   * training_pack_greedy — global-order spec twin, kept oracle-pinned;
     training_pack_sharded is the scale default.
+  * group_sequential_obf — cumulative interim looks over the DAILY
+    aggregate frame: the window input is calendar-bounded (one row per
+    experiment day, ~365-3650 rows at any corpus size), so the single
+    task processes a constant-size frame — the bounded-frame category,
+    not a corpus scan. (Catalyst folds the constant partition key, so
+    the plan prints as unpartitioned.)
 
 Streaming queries are exercised (and drained) in their own tests; building
 them here would re-run whole pipelines, so they are skipped by prefix.
@@ -27,6 +33,7 @@ ALLOWED_GLOBAL = {
     "window_ntile",
     "window_distribution",
     "training_pack_greedy",
+    "group_sequential_obf",
 }
 
 STREAM_PREFIXES = ("streaming_", "stream_")

@@ -275,28 +275,46 @@ _WIN_W = 4  # winnowing window (k-grams per window)
 _WIN_TOKS = "filter(split(lower(text), '\\\\s+'), t -> t <> '')"
 
 
-def win_gram_expr(tk: str = "tk") -> str:
-    """Spark SQL expression: array of 52-bit k-gram hashes over a
-    PRE-PROJECTED token-array column ``tk`` (shared by
-    winnowing_fingerprints and winnowing_candidate_pairs). Project the
-    tokenizer to a column first — inlining it would re-split the text
-    once per element access, quadratic per document."""
-    k = _WIN_K
-    return (
-        f"transform(sequence(1, size({tk}) - {k - 1}), i -> "
-        f"cast(conv(substring(md5(concat_ws(' ', "
-        + ", ".join(f"element_at({tk}, i + {d})" for d in range(k))
-        + ")), 1, 13), 16, 10) as bigint))"
+def win_minima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_grams, j, fp): the minimum k-gram hash of every winnowing
+    window j per document — the EXPLODED formulation of the MOSS scheme.
+
+    The array-lambda formulation (transform + md5 inside a higher-order
+    function) evaluates interpreted, ~200us per gram (10.7s at sf0.1);
+    here the gram hash is a TOP-LEVEL projection (whole-stage codegen) on
+    an exploded gram-index spine, each gram re-explodes onto the <= {w}
+    windows containing it, and the window minimum is one hash aggregate —
+    no arrays anywhere, every expression codegen'd, ~6x faster for
+    identical values. Window j covers grams j..j+{w1}; gram i belongs to
+    windows max(1, i-{w1})..min(i, n_grams-{w1}).""".format(w=_WIN_W, w1=_WIN_W - 1)
+    k, w = _WIN_K, _WIN_W
+    toks = (
+        spread(_t(spark, sf_dir, "documents"))
+        .selectExpr("doc_id", f"{_WIN_TOKS} as tk")
+        .selectExpr("doc_id", "tk", f"size(tk) - {k - 1} as n_grams")
+        .where(F.col("n_grams") >= w)
     )
-
-
-def win_fp_expr(gh: str = "gh") -> str:
-    """Spark SQL expression: distinct winnowed fingerprints of gram-hash
-    array column ``gh``."""
-    w = _WIN_W
+    gram = "concat_ws(' ', " + ", ".join(
+        f"element_at(tk, i + {d})" for d in range(k)
+    ) + ")"
+    grams = toks.selectExpr(
+        "doc_id", "n_grams", "explode(sequence(1, n_grams)) as i", "tk"
+    ).selectExpr(
+        "doc_id",
+        "n_grams",
+        "i",
+        f"cast(conv(substring(md5({gram}), 1, 13), 16, 10) as bigint) as h",
+    )
     return (
-        f"array_distinct(transform(sequence(1, size({gh}) - {w - 1}), i -> "
-        f"array_min(slice({gh}, i, {w}))))"
+        grams.selectExpr(
+            "doc_id",
+            "n_grams",
+            "h",
+            f"explode(sequence(greatest(1, i - {w - 1}),"
+            f" least(i, n_grams - {w - 1}))) as j",
+        )
+        .groupBy("doc_id", "n_grams", "j")
+        .agg(F.min("h").alias("fp"))
     )
 
 
@@ -310,19 +328,20 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     EQUI on fingerprint (the blocked dedup shape). Reports per doc the
     gram/fingerprint counts and the fingerprint-set min/max as the
     set's value signature.""".format(k=_WIN_K, w=_WIN_W)
-    w = _WIN_W
     return (
-        spread(_t(spark, sf_dir, "documents"))
-        .selectExpr("doc_id", f"{_WIN_TOKS} as tk")
-        .selectExpr("doc_id", f"{win_gram_expr()} as gh")
-        .where(F.expr(f"size(gh) >= {w}"))
-        .selectExpr("doc_id", "size(gh) as n_grams", f"{win_fp_expr()} as fp")
+        win_minima(spark, sf_dir)
+        .groupBy("doc_id", "n_grams")
+        .agg(
+            F.countDistinct("fp").cast("bigint").alias("n_fingerprints"),
+            F.min("fp").alias("fp_min"),
+            F.max("fp").alias("fp_max"),
+        )
         .selectExpr(
             "doc_id",
             "cast(n_grams as bigint) as n_grams",
-            "cast(size(fp) as bigint) as n_fingerprints",
-            "array_min(fp) as fp_min",
-            "array_max(fp) as fp_max",
+            "n_fingerprints",
+            "fp_min",
+            "fp_max",
         )
         .orderBy("doc_id")
     )

@@ -27,8 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .registry import QuerySpec, _t
-from .operators.dedup import spread
-from .registry_ext82 import _WIN_TOKS, _WIN_W, win_fp_expr, win_gram_expr
+from .registry_ext82 import _WIN_K, _WIN_W, win_minima
 
 # --------------------------------------------------------------------------
 # Winnowing candidate pairs (X2 [EXT])
@@ -51,11 +50,9 @@ def q_winnowing_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=_WP_MIN_SHARED, k=_WP_TOPK, cap=_WP_STOP_CAP
     )
     d = (
-        spread(_t(spark, sf_dir, "documents"))
-        .selectExpr("doc_id", f"{_WIN_TOKS} as tk")
-        .selectExpr("doc_id", f"{win_gram_expr()} as gh")
-        .where(F.expr(f"size(gh) >= {_WIN_W}"))
-        .selectExpr("doc_id", f"explode({win_fp_expr()}) as fp")
+        win_minima(spark, sf_dir)
+        .select("doc_id", "fp")
+        .distinct()
         .localCheckpoint(eager=False)  # feeds the bucket-size filter + join
     )
     keep = (
@@ -79,8 +76,6 @@ def q_winnowing_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_winnowing_pairs() -> str:
-    from .registry_ext82 import _WIN_K
-
     toks = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
     gram_concat = " || ' ' || ".join(f"tk[i + {d}]" for d in range(_WIN_K))
     return f"""

@@ -1609,6 +1609,8 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext86 import REGISTRY_EXT86
     from .registry_ext87 import REGISTRY_EXT87
     from .registry_ext88 import REGISTRY_EXT88
+    from .registry_ext89 import REGISTRY_EXT89
+    from .registry_ext90 import REGISTRY_EXT90
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1699,6 +1701,8 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT86)
     merged.update(REGISTRY_EXT87)
     merged.update(REGISTRY_EXT88)
+    merged.update(REGISTRY_EXT89)
+    merged.update(REGISTRY_EXT90)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

@@ -40,20 +40,26 @@ def tf_idf(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Dat
     Pure SQL formulation (no HashingTF) so it is oracle-checkable and has
     no feature-collision approximation. Two aggregates: per-(doc,term)
     counts, then a window over terms for document frequency — both standard
-    shuffles on compact keys.
+    shuffles on compact keys. N comes from a keyless aggregate broadcast
+    into the plan (one job total — a driver-side .count() would bill a
+    second full scan to every serving call).
     """
-    n_docs = df.count()  # scalar; at scale pass it in or use a broadcast agg
+    n = df.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
     tokens = df.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("term"))
     tf = tokens.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     # tf has one row per (doc, term), so document frequency is a plain
     # count(*) window — Spark lacks DISTINCT window aggregates anyway.
     df_w = Window.partitionBy("term")
-    return tf.withColumn("df", F.count(F.lit(1)).over(df_w)).select(
-        F.col(id_col),
-        F.col("term"),
-        F.col("tf"),
-        F.col("df"),
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    return (
+        tf.withColumn("df", F.count(F.lit(1)).over(df_w))
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            F.col("tf"),
+            F.col("df"),
+            F.round(F.col("tf") * F.log(F.col("_n_docs") / F.col("df")), 6).alias("tfidf"),
+        )
     )
 
 

@@ -1260,8 +1260,9 @@ LIMIT 50
 
 def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X6 exact TF-IDF per (doc, term): tf * ln(N/df), top-200 by weight
-    for a bounded deterministic result set."""
-    d = _t(spark, sf_dir, "documents")
+    for a bounded deterministic result set. spread() parallelizes the
+    tokenize past the corpus's single-file input split."""
+    d = dedup.spread(_t(spark, sf_dir, "documents"))
     out = text_ops.tf_idf(d)
     return (
         out.select(

@@ -334,8 +334,17 @@ def drain_to_table(
 
     spark = stream_df.sparkSession
     old = spark.conf.get("spark.sql.shuffle.partitions")
+    pinned = False
     if state_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+            pinned = True
+        except Exception:
+            # hosting deployments may reject runtime conf changes (same
+            # tolerance as session.tune_session): the drain still runs
+            # correctly on the session default, just with more state-store
+            # commits per micro-batch
+            pass
     name = "st_" + uuid.uuid4().hex[:12]
     try:
         q = (
@@ -361,7 +370,7 @@ def drain_to_table(
                 "partial sink contents withheld"
             )
     finally:
-        if state_partitions is not None:
+        if pinned:
             spark.conf.set("spark.sql.shuffle.partitions", old)
     return spark.table(name)
 

@@ -181,6 +181,34 @@ def test_drained_stream_equals_batch(spark):
     assert got == want and len(got) > 0
 
 
+def test_drain_tolerates_unsettable_shuffle_conf(spark, monkeypatch):
+    """Hosting deployments may reject runtime conf changes; drain_to_table's
+    state_partitions pin must degrade to the session default instead of
+    crashing the stream (the conf-denied posture every other runtime conf
+    already tolerates via session.tune_session)."""
+    from etl_poor_main_pipeline_spark.streaming.events import (
+        drain_to_table,
+        read_event_stream_parquet,
+    )
+
+    real_set = spark.conf.set
+
+    def deny(k, v):
+        raise RuntimeError(f"conf {k} not settable in this deployment")
+
+    monkeypatch.setattr(spark.conf, "set", deny)
+    try:
+        ev = read_event_stream_parquet(spark, "/root/testdata/sf0.001")
+        drained = drain_to_table(
+            ev.select("user_id").dropDuplicates(["user_id"]),
+            "append",
+            state_partitions=4,
+        )
+        assert drained.count() > 0
+    finally:
+        monkeypatch.setattr(spark.conf, "set", real_set)
+
+
 def test_stream_reader_probes_tz_nanos_and_directory_corpora(spark, tmp_path):
     """The footer probe must detect NANOS by unit, not exact type equality:
     timestamp('ns', tz='UTC') is still NANOS on disk, and a directory-shaped

@@ -1260,9 +1260,10 @@ LIMIT 50
 
 def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X6 exact TF-IDF per (doc, term): tf * ln(N/df), top-200 by weight
-    for a bounded deterministic result set. spread() parallelizes the
-    tokenize past the corpus's single-file input split."""
-    d = dedup.spread(_t(spark, sf_dir, "documents"))
+    for a bounded deterministic result set. No spread(): the tokenize is
+    cheap enough that repartitioning the text costs more than the extra
+    cores recover (measured 0.75s vs 1.0s at sf0.1)."""
+    d = _t(spark, sf_dir, "documents")
     out = text_ops.tf_idf(d)
     return (
         out.select(
@@ -1612,6 +1613,8 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext88 import REGISTRY_EXT88
     from .registry_ext89 import REGISTRY_EXT89
     from .registry_ext90 import REGISTRY_EXT90
+    from .registry_ext91 import REGISTRY_EXT91
+    from .registry_ext92 import REGISTRY_EXT92
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1704,6 +1707,8 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT88)
     merged.update(REGISTRY_EXT89)
     merged.update(REGISTRY_EXT90)
+    merged.update(REGISTRY_EXT91)
+    merged.update(REGISTRY_EXT92)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

@@ -199,7 +199,14 @@ def q_itemcf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic "customers also bought" batch job.""".format(
         k=_CF_TOPK, m=_CF_MIN_CO
     )
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        # three consumers (item counts + both self-join sides): checkpoint
+        # so the distinct shuffle runs once, not three times
+        .localCheckpoint(eager=False)
+    )
     item_n = li.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orders")
     )

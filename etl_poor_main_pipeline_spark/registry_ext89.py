@@ -244,8 +244,14 @@ def q_heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("doc_id").cast("string")).alias("h"),
         F.expr(_TOK).alias("ts"),
     )
-    ranked = global_rank_zero(d, ["h", "doc_id"], 8, out="r0")
-    n_docs = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
+    # rank the slim (doc_id, h) frame — range-shuffling the token arrays
+    # through the rank machinery would move the whole corpus twice
+    slim = d.select("doc_id", "h")
+    ranks = global_rank_zero(slim, ["h", "doc_id"], 8, out="r0").select(
+        "doc_id", "r0"
+    )
+    ranked = d.join(ranks, "doc_id")
+    n_docs = ranks.agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
     spine = (
         n_docs.selectExpr("nd", "explode(sequence(1, 10)) as decile")
         .selectExpr("decile", "cast(ceil(cast(decile as double) * nd / 10.0) as bigint) as thr")

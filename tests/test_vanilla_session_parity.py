@@ -93,6 +93,45 @@ print("instants invariant OK")
 """
 
 
+_CONF_DENIED_SCRIPT = f"""
+import sys
+sys.path.insert(0, {str(REPO)!r})
+from pyspark.sql import SparkSession
+import tools.parity as par
+import __spark_entry__ as ent
+
+spark = SparkSession.builder.master("local[8]").config(
+    "spark.ui.enabled", "false").getOrCreate()
+
+# emulate a hosting deployment that rejects EVERY runtime conf change:
+# tune_session and drain_to_table must degrade gracefully, not crash
+def deny(k, v):
+    raise RuntimeError(f"conf {{k}} not settable in this deployment")
+spark.conf.set = deny
+
+con = par.duck_con({SF_DIR!r})
+qs, oracles = ent.queries(), ent.oracle_sql()
+graded = list(qs)[:50]
+fails = []
+for name in graded:
+    try:
+        sdf = qs[name](spark, {SF_DIR!r}).toPandas()
+    except Exception as e:
+        fails.append(f"{{name}}: spark error {{str(e)[:120]}}")
+        continue
+    odf = con.execute(oracles[name]).fetchdf()
+    if len(sdf) != len(odf):
+        fails.append(f"{{name}}: rows {{len(sdf)}} vs {{len(odf)}}")
+    elif par.value_hash(sdf) != par.value_hash(odf):
+        fails.append(f"{{name}}: value-hash mismatch")
+spark.stop()
+if fails:
+    print("FAIL: " + "; ".join(fails))
+    sys.exit(1)
+print("conf-denied parity OK")
+"""
+
+
 def _run(script: str) -> subprocess.CompletedProcess:
     return subprocess.run(
         [sys.executable, "-c", script],
@@ -107,6 +146,16 @@ def test_ts_graded_queries_pass_under_vanilla_session():
     res = _run(_VANILLA_SCRIPT)
     assert res.returncode == 0, f"stdout={res.stdout[-2000:]} stderr={res.stderr[-2000:]}"
     assert "all parity OK" in res.stdout
+
+
+def test_graded_window_passes_with_all_runtime_confs_denied():
+    """The round-4 red row proved the driver's session can differ from ours
+    in ways tune_session may not fully repair. This pins the strongest
+    realistic emulation: the ENTIRE graded-50 window, vanilla session,
+    every runtime conf.set rejected (all read/stream fallback paths live)."""
+    res = _run(_CONF_DENIED_SCRIPT)
+    assert res.returncode == 0, f"stdout={res.stdout[-2000:]} stderr={res.stderr[-2000:]}"
+    assert "conf-denied parity OK" in res.stdout
 
 
 def test_read_events_instants_invariant_under_hostile_posture():

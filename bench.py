@@ -110,6 +110,9 @@ def main() -> None:
         # round-4 session heads: jaccard-pipeline consumers + wide scans
         "partition_modularity",
         "containment_dedup_pairs",
+        # round-5 heads: iterative graph + basket self-join
+        "personalized_pagerank",
+        "itemcf_cosine_topk",
         "textrank_keywords",
         "trigram_like_index",
         "matryoshka_overlap",

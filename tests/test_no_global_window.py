@@ -17,6 +17,13 @@ variant):
     task processes a constant-size frame — the bounded-frame category,
     not a corpus scan. (Catalyst folds the constant partition key, so
     the plan prints as unpartitioned.)
+  * propensity_match_att — the nearest-control prefix scans run over the
+    LITERAL 1001-row propensity-bucket spine (spark.range(0, 1001)),
+    constant at any corpus size; the corpus itself is only aggregated.
+  * regression_discontinuity — the rank-exact cutoff CDF runs over the
+    per-n_chars bin frame, bounded by the document-length DOMAIN (a few
+    thousand rows), not the corpus (same category as pinball_loss_eval's
+    per-type value bins, which carry a real partition key).
 
 Streaming queries are exercised (and drained) in their own tests; building
 them here would re-run whole pipelines, so they are skipped by prefix.
@@ -34,6 +41,8 @@ ALLOWED_GLOBAL = {
     "window_distribution",
     "training_pack_greedy",
     "group_sequential_obf",
+    "propensity_match_att",
+    "regression_discontinuity",
 }
 
 STREAM_PREFIXES = ("streaming_", "stream_")

@@ -1741,12 +1741,8 @@ _SWEEP_PRIORITY = [
     "partition_scan",
     # one per relational family
     "tpch_q1_pricing_summary",
-    "conditional_agg_pivot",
-    "time_bucket_agg",
-    "join_broadcast_dims",
     "tpch_q3_shipping_priority",
     "tpch_q5_star_join",
-    "asof_join_events",
     # wave-26 flagship: point-in-time (as-of-validity) join
     "point_in_time_join",
     # wave-45 flagship: the nonparametric drift-test head (KS two-sample)
@@ -1762,7 +1758,12 @@ _SWEEP_PRIORITY = [
     # sketch_hll_mergeable, semdedup_prune — now head of the next block)
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_simhash",
+    # wave-83 winnowing fingerprint near-dup head (round-6 rotation; rotated
+    # out, graded green r1-r5: dedup_simhash, conditional_agg_pivot,
+    # time_bucket_agg, join_broadcast_dims, asof_join_events, text_lang_id,
+    # text_quality_score, multimodal_binary_meta, stratified_sample_md5 —
+    # now head of the next block)
+    "winnowing_candidate_pairs",
     "containment_dedup_pairs",
     "sorted_neighborhood_pairs",
     "phash_grid_dedup",
@@ -1771,8 +1772,17 @@ _SWEEP_PRIORITY = [
     "kcore_decomposition",
     # wave-63 personalized restart vector over the same doc graph
     "personalized_pagerank",
-    # stats-tier head never graded by the driver (waves 45-79)
+    # stats-tier heads never graded by the driver (waves 45-95); the four
+    # ::BIGINT-cast former-HUGEINT-oracle queries are rotated in (round-6,
+    # VERDICT r5 #2) so the driver proves the oracle type class is dead
     "welch_t_test",
+    "kaplan_meier_curve",
+    "group_sequential_obf",
+    "vocab_coverage_curve",
+    "bradley_terry_strengths",
+    "kendall_tau_exact_cells",
+    "propensity_match_att",
+    "markov_removal_attribution",
     # similarity tier (X3/X4)
     "similarity_topk_cosine",
     "similarity_ivf_topk",
@@ -1783,17 +1793,16 @@ _SWEEP_PRIORITY = [
     # pii_redact and bpe_apply are the wave-33/34 curation heads)
     "bm25_topk",
     "text_tf_idf",
-    "text_lang_id",
-    "text_quality_score",
-    # wave-49 flagship: the GBDT histogram split search (supervised-prep head)
+    # wave-49 flagship: the GBDT histogram split search (supervised-prep
+    # head) — red r4/r5 from the HUGEINT oracle class, kept in-window so
+    # the driver proves the ::BIGINT fix
     "histogram_split_finder",
     "pii_redact_scrub",
     "bpe_apply_merges",
-    # multimodal (X5) incl. the wave-32 real PCM audio kernel, sampling (X8)
-    "multimodal_binary_meta",
+    # multimodal (X5) incl. the wave-32 real PCM audio kernel; packing (X8)
     "multimodal_frame_sample",
     "audio_pcm_energy",
-    "stratified_sample_md5",
+    "context_window_pack",
     # streaming (X10): tumbling agg, stateful sessionize, OUTER join
     # (wave-52 — strictly extends the round-1-3 graded inner join with
     # watermark-eviction null emission), sink
@@ -1803,7 +1812,16 @@ _SWEEP_PRIORITY = [
     "stream_sink_manifest",
     # next block: remaining family heads a >50-budget grader reaches first
     # (head of block = the entries rotated out of the 50 across rounds,
-    # each graded green earlier: CORRECTNESS_r0{1,2,3,4}.json)
+    # each graded green earlier: CORRECTNESS_r0{1,2,3,4,5}.json)
+    "dedup_simhash",
+    "asof_join_events",
+    "time_bucket_agg",
+    "join_broadcast_dims",
+    "conditional_agg_pivot",
+    "text_lang_id",
+    "text_quality_score",
+    "multimodal_binary_meta",
+    "stratified_sample_md5",
     "set_intersect",
     "string_functions",
     "dedup_keep_best",

@@ -228,7 +228,7 @@ spans AS (
   FROM placed CROSS JOIN (SELECT unnest(range({_PACK_MAX_SPAN})) AS i) k
   WHERE n > 0 AND (start // {_CTX}) + k.i <= (start + n - 1) // {_CTX}
 )
-SELECT window_id,
+SELECT window_id::BIGINT AS window_id,
        cast(sum(CASE WHEN start // {_CTX} = window_id THEN 1 ELSE 0 END) AS bigint) AS n_docs_start,
        cast(sum(least(start + n, (window_id + 1) * {_CTX}) - greatest(start, window_id * {_CTX})) AS bigint) AS n_tokens
 FROM spans

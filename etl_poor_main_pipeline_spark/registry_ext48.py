@@ -166,7 +166,9 @@ p AS (
                                ORDER BY score DESC, bin ASC) AS rk
   FROM scored
 )
-SELECT feature, bin AS split_bin, nl, posl, nr, posr,
+SELECT feature, bin AS split_bin,
+       nl::BIGINT AS nl, posl::BIGINT AS posl,
+       nr::BIGINT AS nr, posr::BIGINT AS posr,
        cast(floor(1e6 * score + 0.5) AS bigint) AS score_micro
 FROM p WHERE rk = 1 ORDER BY feature
 """

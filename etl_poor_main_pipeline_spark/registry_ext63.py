@@ -166,7 +166,7 @@ terms AS (
               ELSE 0 END AS ln_nano
   FROM risk WHERE d > 0
 )
-SELECT day, d, n_risk,
+SELECT day, d, n_risk::BIGINT AS n_risk,
        CASE WHEN d = n_risk THEN 0
             ELSE cast(floor(1e6 * exp(sum(ln_nano) OVER (ORDER BY day) / 1e9)
                             + 0.5) AS bigint) END AS s_micro

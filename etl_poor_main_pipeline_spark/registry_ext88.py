@@ -137,7 +137,7 @@ d AS (
          cast(ck1 + ck0 AS double) / cast(cn1 + cn0 AS double) AS pp
   FROM cum CROSS JOIN tot
 )
-SELECT day, cn1, cn0,
+SELECT day, cn1::BIGINT AS cn1, cn0::BIGINT AS cn0,
        cast(floor(1e6 * t_k + 0.5) AS bigint) AS info_frac_micro,
        cast(floor(1e6 * (p1 - p0) / sqrt(pp * (1.0 - pp)
                   * (1.0 / cast(cn1 AS double) + 1.0 / cast(cn0 AS double)))

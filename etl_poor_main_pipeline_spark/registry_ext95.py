@@ -281,8 +281,8 @@ targets AS (
   FROM tot, (SELECT unnest([{", ".join(str(p) for p in _COV_PS)}]) AS p_pct)
 )
 SELECT cast(p_pct AS bigint) AS p_pct, n_tokens,
-       ptypes + cast(ceil(cast(target - pmass AS double) / cast(f AS double))
-           AS bigint) AS types_needed
+       (ptypes + cast(ceil(cast(target - pmass AS double) / cast(f AS double))
+           AS bigint))::BIGINT AS types_needed
 FROM cum CROSS JOIN targets
 WHERE pmass < target AND pmass + mass >= target
 ORDER BY p_pct

@@ -89,12 +89,23 @@ def main() -> int:
             n_pass += 1
             continue
         try:
-            odf = con.execute(sql).fetchdf()
+            rel = con.sql(sql)
+            bad_types = [
+                f"{c}:{t}"
+                for c, t in zip(rel.columns, rel.types)
+                if str(t).upper() in ("HUGEINT", "UHUGEINT")
+                or str(t).upper().startswith("DECIMAL")
+            ]
+            odf = rel.fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {str(e)[:300]}")
             n_fail += 1
             continue
         problems = []
+        if bad_types:
+            # pandas widens int128/decimal to float64, masking the exact-int
+            # representation difference the driver's hash is sensitive to
+            problems.append(f"oracle output type(s) {bad_types} — cast to ::BIGINT/double")
         if len(sdf) != len(odf):
             problems.append(f"rows {len(sdf)} vs {len(odf)}")
         if sorted(sdf.columns) != sorted(odf.columns):

@@ -143,7 +143,9 @@ def q_kendall_tau_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sy"
             ),
         )
-        .localCheckpoint()
+        # eager=False: constructing this frame (plan guards, explain audits)
+        # must not trigger a Spark job; materializes on first action
+        .localCheckpoint(eager=False)
     )
     a = d.alias("a")
     b = d.alias("b")

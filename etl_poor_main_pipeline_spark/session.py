@@ -36,8 +36,10 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # events.parquet carries TIMESTAMP(NANOS); read as long ns-since-epoch
-    # (converted back to timestamp by sources.read.read_events).
+    # defensive: if a corpus regeneration ever ships TIMESTAMP(NANOS) again
+    # (it has, historically), read it as long ns-since-epoch instead of
+    # erroring; the current events.ts is TIMESTAMP(MICROS) (asserted in
+    # tests/test_read_events.py) so this conf is normally inert
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # corpus timestamps are parquet µs with isAdjustedToUTC=false; read them
     # as TIMESTAMP (interpreted in the UTC session zone — the same wall-clock

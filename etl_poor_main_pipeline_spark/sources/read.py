@@ -12,10 +12,12 @@ Reference behavior being recreated:
   analogue of DuckDB ``con.register`` (utils/duckdb_utils.py:162).
 
 Plus the driver-corpus loaders (TESTDATA.md): one parquet per table at
-``{sf_dir}/{name}.parquet``. ``events`` needs special handling because its
-``ts`` column is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-rejects; with ``spark.sql.legacy.parquet.nanosAsLong=true`` it arrives as a
-long we convert back to a (µs) timestamp — same truncation DuckDB applies.
+``{sf_dir}/{name}.parquet``. ``events.ts`` is parquet
+``TIMESTAMP(MICROS, isAdjustedToUTC=false)`` — naive micros (asserted in
+tests/test_read_events.py so this story can't drift from the data again).
+``read_events`` guarantees ``unix_micros(ts)`` equals the stored naive
+micros under every hosting session (NTZ inference on or off, any session
+timezone), which is what every oracle twin's ``epoch_us(ts)`` sees.
 """
 
 from __future__ import annotations
@@ -67,46 +69,42 @@ def read_partition(
     return df.where(F.col(partition_col) == F.lit(partition_value))
 
 
-def _events_ts_is_long(df: DataFrame) -> bool:
-    return isinstance(df.schema["ts"].dataType, T.LongType)
+#: Zone-free reinterpretation of a TIMESTAMP_NTZ column as the instant whose
+#: unix_micros equal the naive micros: pure calendar arithmetic on the NTZ
+#: value (days-since-epoch * 86400e6 + microsecond-of-day). No session-zone
+#: wall-clock cast anywhere — a cast-based path ("shift wall clock into the
+#: session zone, then cast") is lossy during DST fall-back in non-UTC
+#: hosting sessions, where the shifted wall clock is ambiguous and the cast
+#: resolves both occurrences to one offset (~1 h/year of events shifted).
+_NTZ_AS_UTC_INSTANT = (
+    "timestamp_micros("
+    "unix_date(cast({c} as date)) * 86400000000"
+    " + hour({c}) * 3600000000"
+    " + cast(minute({c}) as bigint) * 60000000"
+    " + cast(extract(second from {c}) * 1000000 as bigint))"
+)
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Load the events table with ``ts`` as a proper µs timestamp.
+    """Load the events table with ``ts`` as a µs-instant timestamp.
 
-    Scalable path: nanosAsLong conf (set by session.tune_session) -> long ns
-    -> ``timestamp_micros(ns div 1000)`` — stays fully JVM-side, preserves
-    pushdown on every other column. Fallback (conf rejected by the hosting
-    session): Arrow read on the driver with a ns->µs cast; fine at test SFs,
-    and flagged loudly for cluster use.
+    The corpus stores ``ts`` as TIMESTAMP(MICROS, isAdjustedToUTC=false) —
+    naive int64 micros. Two live paths, both guaranteeing
+    ``unix_micros(ts) == stored micros`` under any session timezone:
+
+    - NTZ inference on (Spark 4 default): the column arrives TIMESTAMP_NTZ;
+      reinterpret with zone-free calendar arithmetic (``_NTZ_AS_UTC_INSTANT``,
+      DST-safe — see comment there).
+    - NTZ inference off: Spark's parquet reader takes the naive micros as
+      UTC instants directly — pass through unchanged.
+
+    Arrow fallback only if the hosting session's parquet read itself errors.
     """
     path = f"{sf_dir.rstrip('/')}/events.parquet"
     try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
-    try:
         df = spark.read.parquet(path)
-        if _events_ts_is_long(df):
-            # integer division — ns values (~1.7e18) overflow double's 53-bit
-            # mantissa, so a float path would be off by ±1µs
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
-            # hosting session kept NTZ inference on: reinterpret the naive
-            # value so that unix_micros(ts) == the stored naive micros under
-            # ANY session timezone. A bare NTZ->TIMESTAMP cast interprets the
-            # wall clock in the session zone (instant shifts by the zone
-            # offset when the hosting session is not UTC); shifting the wall
-            # clock into the session zone first makes the cast land on the
-            # naive-as-UTC instant exactly — verified equal to the parquet
-            # int64 micros under UTC and America/New_York sessions.
-            df = df.withColumn(
-                "ts",
-                F.expr(
-                    "cast(convert_timezone('UTC', current_timezone(), ts)"
-                    " as timestamp)"
-                ),
-            )
+        if isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            df = df.withColumn("ts", F.expr(_NTZ_AS_UTC_INSTANT.format(c="ts")))
         return df
     except Exception:
         return _read_events_arrow(spark, path)

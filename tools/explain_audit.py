@@ -157,6 +157,31 @@ AUDITED = [
         "lttb_downsample",
         "series downsampling: per-bucket moment triples + bucket+/-1 equi-joins, integer cross-product argmax",
     ),
+    # waves 81-96 heads (round-6 refresh): the 6 most expensive new queries
+    (
+        "bootstrap_ci_hashed",
+        "Poisson bootstrap: all replicates in ONE exploded pass, means exact micro-ratios, CI from a B-bounded array pick",
+    ),
+    (
+        "runs_test_shuffle_audit",
+        "runs test: Blelloch global rank (no global window), adjacency as rank r=r+1 equi-join, one-row moments",
+    ),
+    (
+        "heaps_law_vocab_growth",
+        "Heaps law: per-token min-rank aggregate joined to a broadcast decile spine; OLS on a 10-row frame",
+    ),
+    (
+        "jsd_source_divergence",
+        "pairwise JSD: union support from vocab x source-enum grid, token equi-join pair frame, decimal ln sums",
+    ),
+    (
+        "kneser_ney_bigram",
+        "Kneser-Ney: four grouped counts over the bigram-type table (vocab^2-bounded), top-30 TakeOrdered",
+    ),
+    (
+        "winnowing_candidate_pairs",
+        "winnowing: stop-fingerprint skew cap before the equi self-join on fingerprint; never all-pairs",
+    ),
 ]
 
 MARKERS = (

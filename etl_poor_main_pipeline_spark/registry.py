@@ -1618,6 +1618,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext93 import REGISTRY_EXT93
     from .registry_ext94 import REGISTRY_EXT94
     from .registry_ext95 import REGISTRY_EXT95
+    from .registry_ext96 import REGISTRY_EXT96
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1715,6 +1716,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT93)
     merged.update(REGISTRY_EXT94)
     merged.update(REGISTRY_EXT95)
+    merged.update(REGISTRY_EXT96)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

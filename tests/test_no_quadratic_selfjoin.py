@@ -26,6 +26,8 @@ distinguish from a grouping aggregate over an id):
     LIMIT is hidden behind a lazy localCheckpoint that feeds two sides.
   * uplift_qini_by_score — cumulative sums over score-bucket aggregates
     (bounded bucket domain).
+  * kmv_set_ops — event-type pair grid: both sides grouping aggregates
+    over the 5-value event_type enum, each further k-bounded (KMV k=64).
 
 The scan_prefix triangular close (`_g_prev < _g`) is exempted inside the
 detector itself — its totals frame is group_width (4096x) smaller than the
@@ -53,6 +55,7 @@ ALLOWED_NESTED_LOOP = {
     "matryoshka_overlap",
     "retrieval_eval_metrics",
     "uplift_qini_by_score",
+    "kmv_set_ops",
 }
 
 STREAM_PREFIXES = ("streaming_", "stream_")

@@ -1619,6 +1619,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext94 import REGISTRY_EXT94
     from .registry_ext95 import REGISTRY_EXT95
     from .registry_ext96 import REGISTRY_EXT96
+    from .registry_ext97 import REGISTRY_EXT97
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1717,6 +1718,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT94)
     merged.update(REGISTRY_EXT95)
     merged.update(REGISTRY_EXT96)
+    merged.update(REGISTRY_EXT97)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

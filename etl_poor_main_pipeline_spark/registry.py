@@ -1620,6 +1620,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext95 import REGISTRY_EXT95
     from .registry_ext96 import REGISTRY_EXT96
     from .registry_ext97 import REGISTRY_EXT97
+    from .registry_ext98 import REGISTRY_EXT98
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1719,6 +1720,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT95)
     merged.update(REGISTRY_EXT96)
     merged.update(REGISTRY_EXT97)
+    merged.update(REGISTRY_EXT98)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

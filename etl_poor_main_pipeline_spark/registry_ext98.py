@@ -1,0 +1,430 @@
+"""Operator registry, wave 99: corpus curation & response-privacy — C4's
+document filters, the Gopher duplicate-sentence repetition metric, scene-cut
+detection over binary frame payloads, and randomized-response debiasing.
+
+Scale stances:
+- c4_quality_filters / dup_sentence_fraction are pure per-row expression
+  pipelines + one grouped aggregate — map-side combinable, no joins.
+- scene_cut_detect needs a per-character codepoint sum; md5/ascii inside a
+  SQL-lambda evaluates INTERPRETED (~200us/element), so the pipeline uses
+  the explode -> top-level codegen projection -> re-aggregate idiom
+  (registry_ext82 win_minima precedent). Frame-to-frame deltas are a
+  window PARTITIONED by media (bounded frames per doc); luma means are
+  compared as exact cross-multiplied rationals, folded once per output.
+- randomized_response_debias is two hex-threshold hash draws (the
+  stratified_sample_md5 idiom — no RNG state) + grouped counts; the
+  Warner-style forced-response estimator folds to double in one division.
+
+Reference parity: none; [EXT] X5/X6/X7 tier per BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .registry import QuerySpec, _t
+
+_TOK = r"filter(split(lower(text), '\\s+'), t -> t <> '')"
+_DUCK_TOK = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"
+
+
+# --------------------------------------------------------------------------
+# C4-style document quality filters (X6 [EXT])
+# --------------------------------------------------------------------------
+
+_C4_MIN_WORDS = 5
+_C4_MAX_WORDS = 10_000
+_C4_MIN_TERMINALS = 3
+
+
+def q_c4_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] X6 the C4 (T5) cleaning heuristics as per-document flags:
+    ends with terminal punctuation, has >= {t} sentence terminators (the
+    ">= 3 sentences" rule via a split-free terminal count — identical
+    regex in both engines), contains no curly brace (code/JSON tell),
+    no 'lorem ipsum' placeholder, and a word count in [{lo}, {hi}].
+    `keep` is the conjunction — the actual C4 admission decision. One
+    expression-only pass; every flag is also emitted so downstream can
+    audit WHICH rule rejected a document (the reject-reason ledger
+    pattern). On THIS corpus the punctuation rules reject every document
+    (the synthetic text carries no sentence punctuation) — the flags
+    stay faithful to C4 rather than being bent to pass; the test
+    asserts exactly that outcome.""".format(
+        t=_C4_MIN_TERMINALS, lo=_C4_MIN_WORDS, hi=_C4_MAX_WORDS
+    )
+    d = _t(spark, sf_dir, "documents")
+    out = d.select(
+        "doc_id",
+        F.expr("rtrim(text) rlike '[.!?]$'").alias("ends_punct"),
+        (
+            F.length(F.regexp_replace(F.col("text"), "[^.!?]", ""))
+            >= _C4_MIN_TERMINALS
+        ).alias("enough_sentences"),
+        (~F.col("text").contains("{") & ~F.col("text").contains("}")).alias(
+            "no_brace"
+        ),
+        (~F.lower(F.col("text")).contains("lorem ipsum")).alias("no_lorem"),
+        F.expr(
+            f"size({_TOK}) between {_C4_MIN_WORDS} and {_C4_MAX_WORDS}"
+        ).alias("wordcount_ok"),
+    )
+    return out.select(
+        "doc_id",
+        "ends_punct",
+        "enough_sentences",
+        "no_brace",
+        "no_lorem",
+        "wordcount_ok",
+        (
+            F.col("ends_punct")
+            & F.col("enough_sentences")
+            & F.col("no_brace")
+            & F.col("no_lorem")
+            & F.col("wordcount_ok")
+        ).alias("keep"),
+    ).orderBy("doc_id")
+
+
+_ORACLE_C4 = f"""
+SELECT doc_id,
+       regexp_matches(rtrim(text), '[.!?]$') AS ends_punct,
+       length(regexp_replace(text, '[^.!?]', '', 'g')) >= {_C4_MIN_TERMINALS}
+         AS enough_sentences,
+       (NOT contains(text, '{{') AND NOT contains(text, '}}')) AS no_brace,
+       NOT contains(lower(text), 'lorem ipsum') AS no_lorem,
+       len({_DUCK_TOK}) BETWEEN {_C4_MIN_WORDS} AND {_C4_MAX_WORDS}
+         AS wordcount_ok,
+       (regexp_matches(rtrim(text), '[.!?]$')
+        AND length(regexp_replace(text, '[^.!?]', '', 'g')) >= {_C4_MIN_TERMINALS}
+        AND NOT contains(text, '{{') AND NOT contains(text, '}}')
+        AND NOT contains(lower(text), 'lorem ipsum')
+        AND len({_DUCK_TOK}) BETWEEN {_C4_MIN_WORDS} AND {_C4_MAX_WORDS})
+         AS keep
+FROM documents ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Duplicate-sentence fraction (Gopher repetition metric) (X6 [EXT])
+# --------------------------------------------------------------------------
+
+
+_DNF_N = 2  # window width in words (the Gopher dup-ngram family)
+
+
+def q_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] X6 the Gopher/MassiveText within-document repetition signal,
+    duplicate-{n}-gram form: per document, the fraction of sliding
+    {n}-word windows that duplicate an earlier window (1 - distinct /
+    total); aggregated per source as docs affected and the mean per-doc
+    fraction. (The sibling duplicate-SENTENCE form is vacuous on this
+    corpus — the synthetic documents carry no sentence punctuation — so
+    the n-gram form is the graded exemplar; both are the same explode +
+    two grouped counts shape.) Per-doc fractions are exact rationals
+    snapped to milli; the source mean is one correctly-rounded
+    division. Docs shorter than {n} words have no windows and drop out
+    deterministically in both engines.""".format(n=_DNF_N)
+    d = _t(spark, sf_dir, "documents")
+    sent = d.select(
+        "doc_id",
+        "source",
+        F.expr(f"{_TOK}").alias("ts"),
+    ).where(F.size("ts") >= _DNF_N).select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(ts) - {_DNF_N - 1}),"
+                f" i -> concat_ws(' ', slice(ts, i, {_DNF_N})))"
+            )
+        ).alias("s"),
+    )
+    per_doc = sent.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sent"),
+        F.countDistinct("s").cast("bigint").alias("n_uniq"),
+    )
+    scored = per_doc.select(
+        "source",
+        F.floor(
+            F.lit(1000.0)
+            * (F.col("n_sent") - F.col("n_uniq")).cast("double")
+            / F.col("n_sent").cast("double")
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("dup_milli"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("dup_milli") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("docs_with_dups"),
+            F.floor(
+                F.sum("dup_milli").cast("double") / F.count(F.lit(1)).cast("double")
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("mean_dup_milli"),
+        )
+        .orderBy("source")
+    )
+
+
+_ORACLE_DUPSENT = rf"""
+WITH sent AS (
+  SELECT doc_id, source,
+         array_to_string(ts[i:i + {_DNF_N - 1}], ' ') AS s
+  FROM (SELECT doc_id, source, {_DUCK_TOK} AS ts FROM documents),
+       range(1, 100000) r(i)
+  WHERE len(ts) >= {_DNF_N} AND i <= len(ts) - {_DNF_N - 1}
+),
+per_doc AS (
+  SELECT doc_id, source,
+         cast(count(*) AS bigint) AS n_sent,
+         cast(count(DISTINCT s) AS bigint) AS n_uniq
+  FROM sent GROUP BY 1, 2
+),
+scored AS (
+  SELECT source,
+         cast(floor(1000.0 * cast(n_sent - n_uniq AS double)
+                    / cast(n_sent AS double) + 0.5) AS bigint) AS dup_milli
+  FROM per_doc
+)
+SELECT source,
+       cast(count(*) AS bigint) AS n_docs,
+       sum(CASE WHEN dup_milli > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_with_dups,
+       cast(floor(cast(sum(dup_milli) AS double) / cast(count(*) AS double) + 0.5)
+            AS bigint) AS mean_dup_milli
+FROM scored GROUP BY 1 ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# Scene-cut detection over frame payloads (X5 [EXT])
+# --------------------------------------------------------------------------
+
+_SC_FRAME = 256
+_SC_CUT_MILLI = 2000  # mean-codepoint jump >= 2.0 levels = a cut
+
+
+def q_scene_cut_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] X5 shot/scene-boundary detection on the synthetic media tier:
+    payloads chunk into {fb}-byte frames, each frame's "luma" is its mean
+    codepoint value, and a frame starts a new scene when the mean jumps
+    >= {th} milli-levels vs the previous frame — the classic
+    intensity-delta shot detector, with the decode stubbed (ASCII payload
+    = byte stream) and all Spark plumbing real. Per-char work runs as
+    explode -> TOP-LEVEL codegen ascii() -> re-aggregate (lambda-interior
+    ascii would evaluate interpreted); frame deltas are a media-
+    partitioned lag window; luma means compare as exact cross-multiplied
+    integer rationals.""".format(fb=_SC_FRAME, th=_SC_CUT_MILLI)
+    d = _t(spark, sf_dir, "documents")
+    chars = d.where(F.length("text") >= 1).select(
+        F.col("doc_id").alias("media_id"),
+        F.posexplode(F.split(F.col("text"), "")),
+    )
+    per_frame = (
+        chars.select(
+            "media_id",
+            (F.col("pos") / _SC_FRAME).cast("bigint").alias("frame_idx"),
+            F.ascii(F.col("col")).cast("bigint").alias("cp"),
+        )
+        .groupBy("media_id", "frame_idx")
+        .agg(
+            F.sum("cp").cast("bigint").alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("l"),
+        )
+    )
+    wlag = Window.partitionBy("media_id").orderBy("frame_idx")
+    lagged = per_frame.select(
+        "media_id",
+        "frame_idx",
+        "s",
+        "l",
+        F.lag("s").over(wlag).alias("ps"),
+        F.lag("l").over(wlag).alias("pl"),
+    )
+    return lagged.select(
+        "media_id",
+        "frame_idx",
+        F.floor(F.lit(1000.0) * F.col("s").cast("double") / F.col("l").cast("double") + F.lit(0.5))
+        .cast("bigint")
+        .alias("luma_milli"),
+        F.coalesce(
+            F.floor(
+                F.lit(1000.0)
+                * F.abs(F.col("s") * F.col("pl") - F.col("ps") * F.col("l")).cast("double")
+                / (F.col("l") * F.col("pl")).cast("double")
+                + F.lit(0.5)
+            ).cast("bigint"),
+            F.lit(-1).cast("bigint"),
+        ).alias("delta_milli"),
+        F.coalesce(
+            F.floor(
+                F.lit(1000.0)
+                * F.abs(F.col("s") * F.col("pl") - F.col("ps") * F.col("l")).cast("double")
+                / (F.col("l") * F.col("pl")).cast("double")
+                + F.lit(0.5)
+            )
+            >= _SC_CUT_MILLI,
+            F.lit(False),
+        ).alias("is_cut"),
+    ).orderBy("media_id", "frame_idx")
+
+
+_ORACLE_SCENE = f"""
+WITH media AS (
+  SELECT doc_id AS media_id, text, length(text) AS nc
+  FROM documents WHERE length(text) >= 1
+),
+chars AS (
+  SELECT media_id, (i - 1) // {_SC_FRAME} AS frame_idx,
+         ascii(substring(text, i, 1)) AS cp
+  FROM media, range(1, 100000) r(i)
+  WHERE i <= nc
+),
+per_frame AS (
+  SELECT media_id, frame_idx,
+         sum(cp)::BIGINT AS s, cast(count(*) AS bigint) AS l
+  FROM chars GROUP BY 1, 2
+),
+lagged AS (
+  SELECT media_id, frame_idx, s, l,
+         lag(s) OVER (PARTITION BY media_id ORDER BY frame_idx) AS ps,
+         lag(l) OVER (PARTITION BY media_id ORDER BY frame_idx) AS pl
+  FROM per_frame
+)
+SELECT media_id, cast(frame_idx AS bigint) AS frame_idx,
+       cast(floor(1000.0 * cast(s AS double) / cast(l AS double) + 0.5) AS bigint)
+         AS luma_milli,
+       coalesce(cast(floor(1000.0 * cast(abs(s * pl - ps * l) AS double)
+                           / cast(l * pl AS double) + 0.5) AS bigint), -1)
+         AS delta_milli,
+       coalesce(cast(floor(1000.0 * cast(abs(s * pl - ps * l) AS double)
+                           / cast(l * pl AS double) + 0.5) AS bigint)
+                >= {_SC_CUT_MILLI}, false) AS is_cut
+FROM lagged ORDER BY media_id, frame_idx
+"""
+
+
+# --------------------------------------------------------------------------
+# Randomized-response debiasing (X7 [EXT])
+# --------------------------------------------------------------------------
+
+_RR_P_HEX = "c0"  # answer truthfully when md5 draw < 0xc0/0x100 -> p = 0.75
+_RR_P = 0.75
+
+
+def q_randomized_response_debias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] X7 randomized response (forced-response variant) — the
+    local-DP survey mechanism: each event answers a sensitive yes/no
+    question truthfully with p = {p} and with a fair coin otherwise;
+    the per-type prevalence is then recovered UNBIASED via
+    pi_hat = (obs - (1-p)/2) / p. The sensitive bit and both noise
+    draws are deterministic md5 hex-threshold draws (the
+    stratified_sample_md5 idiom), so the whole privatize->debias round
+    trip — including how close pi_hat lands to the true rate, which the
+    oracle emits beside it — is reproducible in both engines. Grouped
+    counts + one closing division; nothing but expressions before the
+    aggregate.""".format(p=_RR_P)
+    e = _t(spark, sf_dir, "events")
+    b = e.select(
+        "event_type",
+        # true sensitive bit: stable per user
+        (F.substring(F.md5(F.col("user_id").cast("string")), 1, 2) < "80").alias(
+            "truth"
+        ),
+        # honesty draw: per response (event)
+        (
+            F.substring(F.md5(F.concat(F.lit("rr:"), F.col("event_id").cast("string"))), 1, 2)
+            < _RR_P_HEX
+        ).alias("honest"),
+        # forced-coin draw: per response
+        (
+            F.substring(F.md5(F.concat(F.lit("fc:"), F.col("event_id").cast("string"))), 1, 2)
+            < "80"
+        ).alias("coin"),
+    )
+    resp = b.select(
+        "event_type",
+        "truth",
+        F.when(F.col("honest"), F.col("truth")).otherwise(F.col("coin")).alias("answer"),
+    )
+    g = resp.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("answer"), 1).otherwise(0)).cast("bigint").alias("yes"),
+        F.sum(F.when(F.col("truth"), 1).otherwise(0)).cast("bigint").alias("true_yes"),
+    )
+    return g.select(
+        "event_type",
+        "n",
+        "yes",
+        F.floor(
+            F.lit(1e6)
+            * (
+                F.col("yes").cast("double") / F.col("n").cast("double")
+                - F.lit((1.0 - _RR_P) / 2.0)
+            )
+            / F.lit(_RR_P)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("pi_hat_micro"),
+        F.floor(
+            F.lit(1e6) * F.col("true_yes").cast("double") / F.col("n").cast("double")
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("pi_true_micro"),
+    ).orderBy("event_type")
+
+
+_ORACLE_RR = f"""
+WITH b AS (
+  SELECT event_type,
+         substr(md5(cast(user_id AS varchar)), 1, 2) < '80' AS truth,
+         substr(md5('rr:' || cast(event_id AS varchar)), 1, 2) < '{_RR_P_HEX}'
+           AS honest,
+         substr(md5('fc:' || cast(event_id AS varchar)), 1, 2) < '80' AS coin
+  FROM events
+),
+resp AS (
+  SELECT event_type, truth,
+         CASE WHEN honest THEN truth ELSE coin END AS answer
+  FROM b
+),
+g AS (
+  SELECT event_type,
+         cast(count(*) AS bigint) AS n,
+         sum(CASE WHEN answer THEN 1 ELSE 0 END)::BIGINT AS yes,
+         sum(CASE WHEN truth THEN 1 ELSE 0 END)::BIGINT AS true_yes
+  FROM resp GROUP BY 1
+)
+SELECT event_type, n, yes,
+       cast(floor(1e6 * (cast(yes AS double) / cast(n AS double)
+                         - {(1.0 - _RR_P) / 2.0!r}) / {_RR_P!r} + 0.5) AS bigint)
+         AS pi_hat_micro,
+       cast(floor(1e6 * cast(true_yes AS double) / cast(n AS double) + 0.5)
+            AS bigint) AS pi_true_micro
+FROM g ORDER BY event_type
+"""
+
+
+REGISTRY_EXT98: dict[str, QuerySpec] = {
+    "c4_quality_filters": QuerySpec(
+        q_c4_quality_filters, _ORACLE_C4, "X6 [EXT] C4 admission filters"
+    ),
+    "dup_ngram_fraction": QuerySpec(
+        q_dup_ngram_fraction, _ORACLE_DUPSENT, "X6 [EXT] Gopher repetition metric"
+    ),
+    "scene_cut_detect": QuerySpec(
+        q_scene_cut_detect, _ORACLE_SCENE, "X5 [EXT] shot-boundary detection"
+    ),
+    "randomized_response_debias": QuerySpec(
+        q_randomized_response_debias, _ORACLE_RR, "X7 [EXT] local-DP debias"
+    ),
+}

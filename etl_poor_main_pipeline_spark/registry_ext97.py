@@ -49,10 +49,11 @@ def q_temperature_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFram
     tokc = d.select("source", F.expr(f"size({_TOK})").cast("bigint").alias("nt")).groupBy(
         "source"
     ).agg(F.sum("nt").cast("bigint").alias("n_tokens"))
-    al = spark.createDataFrame(
-        [(a,) for a in _TEMP_ALPHAS_CENTI], "alpha_centi int"
-    ).select(F.col("alpha_centi").cast("bigint").alias("alpha_centi"))
-    pw = tokc.crossJoin(al).select(
+    # literal lag spine via explode — a plain projection, no join at all
+    alphas = F.explode(
+        F.array(*[F.lit(a).cast("bigint") for a in _TEMP_ALPHAS_CENTI])
+    ).alias("alpha_centi")
+    pw = tokc.select("source", "n_tokens", alphas).select(
         "source",
         "alpha_centi",
         "n_tokens",

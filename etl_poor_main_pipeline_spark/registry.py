@@ -1622,6 +1622,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext97 import REGISTRY_EXT97
     from .registry_ext98 import REGISTRY_EXT98
     from .registry_ext99 import REGISTRY_EXT99
+    from .registry_ext100 import REGISTRY_EXT100
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1723,6 +1724,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT97)
     merged.update(REGISTRY_EXT98)
     merged.update(REGISTRY_EXT99)
+    merged.update(REGISTRY_EXT100)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

@@ -1623,6 +1623,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext98 import REGISTRY_EXT98
     from .registry_ext99 import REGISTRY_EXT99
     from .registry_ext100 import REGISTRY_EXT100
+    from .registry_ext101 import REGISTRY_EXT101
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1725,6 +1726,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT98)
     merged.update(REGISTRY_EXT99)
     merged.update(REGISTRY_EXT100)
+    merged.update(REGISTRY_EXT101)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

@@ -1624,6 +1624,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext99 import REGISTRY_EXT99
     from .registry_ext100 import REGISTRY_EXT100
     from .registry_ext101 import REGISTRY_EXT101
+    from .registry_ext102 import REGISTRY_EXT102
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1727,6 +1728,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT99)
     merged.update(REGISTRY_EXT100)
     merged.update(REGISTRY_EXT101)
+    merged.update(REGISTRY_EXT102)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

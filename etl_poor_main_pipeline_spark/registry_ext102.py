@@ -1,0 +1,602 @@
+"""Operator registry, wave 103: instrumental variables, cumulative
+hazards, partial autocorrelation, and item-item recommendation — the
+Wald IV estimator, the Nelson-Aalen estimator, Yule-Walker PACF via
+Durbin-Levinson, and Slope One with leave-one-out evaluation.
+
+Scale stances:
+- iv_wald_estimator: users collapse to one row each (treatment flag +
+  outcome sum) in a single grouped pass; the instrument is a
+  deterministic md5 split, and the four arm means plus the ratio fold
+  from SIX exact bigint counters on a 2-row frame.
+- nelson_aalen_hazard: deaths/risk-sets live on a DAY-bounded frame
+  (the kaplan_meier duration spine, different transition); H(t) and
+  its Poisson variance are prefix sums of per-day micro-snapped terms
+  — integer windows, no product chain.
+- pacf_yule_walker: the corpus reduces to per-type daily means; three
+  lag sums come from equi-joins on day+k; the Durbin-Levinson
+  recursion runs on the 5-row per-type frame with every intermediate
+  (r1, r2, r3, phi22, phi21) snapped micro before reuse, so the
+  two-engine recursion is bit-identical.
+- slope_one_loo_eval: ratings collapse to the (user, item) mean frame
+  first; the deviation matrix is a user-keyed self-join (25 pairs per
+  user, never corpus^2) and leave-one-out prediction reuses the same
+  frame — the classic weighted Slope One eval loop as two hash joins.
+
+Reference parity: none; [EXT] X7/X9 tier per BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .registry import QuerySpec, _t
+
+
+# --------------------------------------------------------------------------
+# Wald instrumental-variable estimator (X7 [EXT])
+# --------------------------------------------------------------------------
+
+_IV_HEAVY = 300.0  # treatment: user ever logs an event with value >= this
+
+
+def q_iv_wald_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] X7 the Wald instrumental-variable estimator: effect of
+    being a heavy user (any event value >= {h}) on total spend, using a
+    deterministic md5 user split as the instrument — the structure of
+    an encouragement design (here an A/A-style placebo split, so the
+    first stage is expected to be weak; the estimator mechanics and the
+    reported first-stage strength are the point). Wald = (E[Y|Z=1] -
+    E[Y|Z=0]) / (E[T|Z=1] - E[T|Z=0]); all four arm means derive from
+    six exact bigint counters (user outcomes snapped centi before
+    summing), the ratio guards the zero first stage, and the output
+    carries the first-stage difference so a reader can reject the
+    instrument.""".format(h=_IV_HEAVY)
+    e = _t(spark, sf_dir, "events")
+    users = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("value") >= _IV_HEAVY, 1).otherwise(0))
+        .cast("bigint")
+        .alias("t"),
+        F.sum(F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("y_centi"),
+    ).select(
+        F.expr(
+            "case when instr('13579bdf',"
+            " substring(md5(cast(user_id as string)), 1, 1)) > 0"
+            " then 1 else 0 end"
+        ).cast("bigint").alias("z"),
+        "t",
+        "y_centi",
+    )
+    arms = users.groupBy("z").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum("y_centi").cast("bigint").alias("sy"),
+    )
+    wide = arms.agg(
+        F.sum(F.when(F.col("z") == 1, F.col("n"))).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("z") == 0, F.col("n"))).cast("bigint").alias("n0"),
+        F.sum(F.when(F.col("z") == 1, F.col("st"))).cast("bigint").alias("t1"),
+        F.sum(F.when(F.col("z") == 0, F.col("st"))).cast("bigint").alias("t0"),
+        F.sum(F.when(F.col("z") == 1, F.col("sy"))).cast("bigint").alias("y1"),
+        F.sum(F.when(F.col("z") == 0, F.col("sy"))).cast("bigint").alias("y0"),
+    )
+    return wide.select(
+        "n1",
+        "n0",
+        F.expr(
+            "cast(floor(1e6 * (cast(t1 as double) / cast(n1 as double)"
+            " - cast(t0 as double) / cast(n0 as double)) + 0.5) as bigint)"
+        ).alias("first_stage_micro"),
+        F.expr(
+            "cast(floor(1e6 * (cast(y1 as double) / cast(n1 as double)"
+            " - cast(y0 as double) / cast(n0 as double)) / 100.0 + 0.5) as bigint)"
+        ).alias("reduced_form_micro"),
+        F.expr(
+            "case when t1 * n0 = t0 * n1 then cast(null as bigint) else"
+            " cast(floor(1e6 * ((cast(y1 as double) / cast(n1 as double)"
+            "   - cast(y0 as double) / cast(n0 as double)) / 100.0)"
+            " / (cast(t1 as double) / cast(n1 as double)"
+            "   - cast(t0 as double) / cast(n0 as double)) + 0.5) as bigint) end"
+        ).alias("wald_late_micro"),
+    )
+
+
+_ORACLE_IV = f"""
+WITH users AS (
+  SELECT CASE WHEN strpos('13579bdf',
+              substr(md5(cast(user_id AS varchar)), 1, 1)) > 0
+         THEN 1 ELSE 0 END::BIGINT AS z,
+         cast(max(CASE WHEN value >= {_IV_HEAVY!r} THEN 1 ELSE 0 END) AS bigint) AS t,
+         sum(cast(floor(value * 100.0 + 0.5) AS bigint))::BIGINT AS y_centi
+  FROM events GROUP BY user_id
+),
+wide AS (
+  SELECT sum(CASE WHEN z = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+         sum(CASE WHEN z = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+         sum(CASE WHEN z = 1 THEN t ELSE 0 END)::BIGINT AS t1,
+         sum(CASE WHEN z = 0 THEN t ELSE 0 END)::BIGINT AS t0,
+         sum(CASE WHEN z = 1 THEN y_centi ELSE 0 END)::BIGINT AS y1,
+         sum(CASE WHEN z = 0 THEN y_centi ELSE 0 END)::BIGINT AS y0
+  FROM users
+)
+SELECT n1, n0,
+       cast(floor(1e6 * (cast(t1 AS double) / cast(n1 AS double)
+            - cast(t0 AS double) / cast(n0 AS double)) + 0.5) AS bigint)
+         AS first_stage_micro,
+       cast(floor(1e6 * (cast(y1 AS double) / cast(n1 AS double)
+            - cast(y0 AS double) / cast(n0 AS double)) / 100.0 + 0.5) AS bigint)
+         AS reduced_form_micro,
+       CASE WHEN t1 * n0 = t0 * n1 THEN NULL ELSE
+         cast(floor(1e6 * ((cast(y1 AS double) / cast(n1 AS double)
+              - cast(y0 AS double) / cast(n0 AS double)) / 100.0)
+              / (cast(t1 AS double) / cast(n1 AS double)
+                - cast(t0 AS double) / cast(n0 AS double)) + 0.5) AS bigint) END
+         AS wald_late_micro
+FROM wide
+"""
+
+
+# --------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard (X7/X9 [EXT])
+# --------------------------------------------------------------------------
+
+
+def q_nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] X7/X9 the Nelson-Aalen estimator of cumulative hazard for
+    signup-to-first-error time, right-censored at corpus end: H(t) =
+    sum over event days t_i <= t of d_i / n_i, with the Poisson
+    variance sum d_i / n_i^2 — the additive complement of the shipped
+    kaplan_meier_curve (H needs no product chain and remains finite
+    when the risk set empties, where S collapses to 0). Per-day terms
+    snap micro from exact (d_i, n_i) bigints; H and its variance are
+    integer PREFIX sums over the day-bounded frame. Output per event
+    day: at-risk, deaths, H_micro, var_micro."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t_us")
+    )
+    first_signup = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("t_us").alias("t0"))
+    )
+    first_err = (
+        e.where(F.col("event_type") == "error")
+        .join(first_signup, "user_id")
+        .where(F.col("t_us") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("t_us").alias("te"))
+    )
+    t_end = e.agg(F.max("t_us").alias("t_max"))
+    durs = (
+        first_signup.join(first_err, "user_id", "left")
+        .crossJoin(F.broadcast(t_end))
+        .select(
+            F.when(
+                F.col("te").isNotNull(),
+                ((F.col("te") - F.col("t0")) / F.lit(86_400_000_000)).cast("bigint"),
+            )
+            .otherwise(
+                ((F.col("t_max") - F.col("t0")) / F.lit(86_400_000_000)).cast("bigint")
+            )
+            .alias("day"),
+            F.col("te").isNotNull().alias("observed"),
+        )
+    )
+    n_total = durs.agg(F.count(F.lit(1)).cast("bigint").alias("n_all"))
+    per_day = durs.groupBy("day").agg(
+        F.sum(F.when(F.col("observed"), 1).otherwise(0)).cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("leaving"),
+    )
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    wpre = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    staged = (
+        per_day.crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "n_risk",
+            (F.col("n_all") - F.coalesce(F.sum("leaving").over(wcum), F.lit(0)))
+            .cast("bigint"),
+        )
+        .filter(F.col("d") > 0)
+        .select(
+            "day",
+            "n_risk",
+            "d",
+            F.expr(
+                "cast(floor(1e6 * cast(d as double) / cast(n_risk as double) + 0.5)"
+                " as bigint)"
+            ).alias("h_term"),
+            F.expr(
+                "cast(floor(1e6 * cast(d as double)"
+                " / (cast(n_risk as double) * cast(n_risk as double)) + 0.5) as bigint)"
+            ).alias("v_term"),
+        )
+    )
+    return staged.select(
+        "day",
+        "n_risk",
+        "d",
+        F.sum("h_term").over(wpre).cast("bigint").alias("h_micro"),
+        F.sum("v_term").over(wpre).cast("bigint").alias("var_micro"),
+    ).orderBy("day")
+
+
+_ORACLE_NA = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t_us FROM events
+),
+first_signup AS (
+  SELECT user_id, min(t_us) AS t0 FROM ev WHERE event_type = 'signup' GROUP BY 1
+),
+first_err AS (
+  SELECT e.user_id, min(e.t_us) AS te
+  FROM ev e JOIN first_signup s USING (user_id)
+  WHERE e.event_type = 'error' AND e.t_us > s.t0
+  GROUP BY 1
+),
+t_end AS (SELECT max(t_us) AS t_max FROM ev),
+durs AS (
+  SELECT CASE WHEN fe.te IS NOT NULL
+              THEN cast((fe.te - fs.t0) // 86400000000 AS bigint)
+              ELSE cast(((SELECT t_max FROM t_end) - fs.t0) // 86400000000 AS bigint)
+         END AS day,
+         fe.te IS NOT NULL AS observed
+  FROM first_signup fs LEFT JOIN first_err fe USING (user_id)
+),
+n_total AS (SELECT cast(count(*) AS bigint) AS n_all FROM durs),
+per_day AS (
+  SELECT day,
+         sum(CASE WHEN observed THEN 1 ELSE 0 END)::BIGINT AS d,
+         cast(count(*) AS bigint) AS leaving
+  FROM durs GROUP BY 1
+),
+staged AS (
+  SELECT day, d,
+         ((SELECT n_all FROM n_total)
+          - coalesce(sum(leaving) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT
+           AS n_risk
+  FROM per_day
+),
+terms AS (
+  SELECT day, n_risk, d,
+         cast(floor(1e6 * cast(d AS double) / cast(n_risk AS double) + 0.5)
+              AS bigint) AS h_term,
+         cast(floor(1e6 * cast(d AS double)
+              / (cast(n_risk AS double) * cast(n_risk AS double)) + 0.5)
+              AS bigint) AS v_term
+  FROM staged WHERE d > 0
+)
+SELECT day, n_risk, d,
+       sum(h_term) OVER (ORDER BY day)::BIGINT AS h_micro,
+       sum(v_term) OVER (ORDER BY day)::BIGINT AS var_micro
+FROM terms ORDER BY day
+"""
+
+
+# --------------------------------------------------------------------------
+# PACF via Yule-Walker / Durbin-Levinson (X7 [EXT])
+# --------------------------------------------------------------------------
+
+
+def q_pacf_yule_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] X7 partial autocorrelation at lags 1..3 of the daily mean
+    event value per type, via the Durbin-Levinson closed forms on the
+    Yule-Walker equations: phi11 = r1; phi22 = (r2 - r1^2)/(1 - r1^2);
+    phi33 from the order-2 prediction coefficients — the AR-order
+    selection diagnostic (an AR(p) series has PACF ~ 0 beyond lag p)
+    that raw ACF (shipped as acf_lags) cannot give. The series reduces
+    to exact centi daily means; r_k uses the STANDARD stationary form
+    (global mean and variance, lag sums from day+k equi-joins); every
+    intermediate — r1, r2, r3, phi22, then phi21 — snaps micro before
+    reuse so the recursion is bit-identical across engines. Degenerate
+    guards: zero variance or |den| = 0 maps the coefficient to 0."""
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+            F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("bigint").alias("vc"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.floor(
+                F.sum("vc").cast("double") / F.count(F.lit(1)).cast("double") + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("x")
+        )
+        .localCheckpoint(eager=False)
+    )
+    mom = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    lagged = (
+        daily.select(
+            "event_type",
+            "day",
+            "x",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"),
+        )
+        .alias("a")
+        .join(
+            daily.select(
+                F.col("event_type").alias("et2"),
+                F.col("day").alias("day2"),
+                F.col("x").alias("y"),
+            ),
+            (F.col("a.event_type") == F.col("et2"))
+            & (F.col("a.day") + F.col("a.k") == F.col("day2")),
+        )
+        .groupBy("a.event_type", "a.k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("nk"),
+            F.sum(F.col("a.x") * F.col("y")).cast("bigint").alias("sxy"),
+            F.sum("a.x").cast("bigint").alias("sxa"),
+            F.sum("y").cast("bigint").alias("sxb"),
+        )
+    )
+    # the PSD-safe biased estimator: c_k = (1/n) sum over lag pairs of
+    # (x_t - mu)(x_{t+k} - mu) with the GLOBAL mean mu = sx/n; expanding,
+    # n*c_k = sxy - mu*(sxa+sxb) + nk*mu^2 and n*c_0 = sxx - n*mu^2 —
+    # |r_k| <= 1 by Cauchy-Schwarz on the demeaned pair sums, which the
+    # cheap s_k/n - mu^2 shortcut does NOT guarantee.
+    _RM = (
+        "case when cast(sxx as double) - n * pow(cast(sx as double) / n, 2) <= 0"
+        " then cast(0 as bigint) else cast(floor(1e6 *"
+        " (cast(sxy as double) - (cast(sx as double) / n) * (sxa + sxb)"
+        "  + nk * pow(cast(sx as double) / n, 2))"
+        " / (cast(sxx as double) - n * pow(cast(sx as double) / n, 2))"
+        " + 0.5) as bigint) end"
+    )
+    r = (
+        lagged.join(mom, "event_type")
+        .select("event_type", "k", F.expr(_RM).alias("rm"))
+        .groupBy("event_type")
+        .pivot("k", [1, 2, 3])
+        .agg(F.first("rm"))
+        .select(
+            "event_type",
+            F.coalesce(F.col("1"), F.lit(0)).cast("bigint").alias("r1m"),
+            F.coalesce(F.col("2"), F.lit(0)).cast("bigint").alias("r2m"),
+            F.coalesce(F.col("3"), F.lit(0)).cast("bigint").alias("r3m"),
+        )
+    )
+    p22 = r.select(
+        "event_type",
+        "r1m",
+        "r2m",
+        "r3m",
+        F.expr(
+            "case when 1e12 - cast(r1m as double) * r1m = 0 then cast(0 as bigint)"
+            " else cast(floor(1e6 * (cast(r2m as double) * 1e6 - cast(r1m as double) * r1m)"
+            " / (1e12 - cast(r1m as double) * r1m) + 0.5) as bigint) end"
+        ).alias("p22m"),
+    )
+    p21 = p22.select(
+        "*",
+        F.expr(
+            "cast(floor(cast(r1m as double) * (1e6 - p22m) / 1e6 + 0.5) as bigint)"
+        ).alias("p21m"),
+    )
+    return p21.select(
+        "event_type",
+        F.col("r1m").alias("pacf1_micro"),
+        F.col("p22m").alias("pacf2_micro"),
+        F.expr(
+            "case when 1e12 - cast(p21m as double) * r1m - cast(p22m as double) * r2m = 0"
+            " then cast(0 as bigint) else"
+            " cast(floor(1e6 * (cast(r3m as double) * 1e6"
+            "   - cast(p21m as double) * r2m - cast(p22m as double) * r1m)"
+            " / (1e12 - cast(p21m as double) * r1m - cast(p22m as double) * r2m)"
+            " + 0.5) as bigint) end"
+        ).alias("pacf3_micro"),
+    ).orderBy("event_type")
+
+
+_ORACLE_PACF = """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         cast(floor(cast(sum(cast(floor(value * 100.0 + 0.5) AS bigint)) AS double)
+              / cast(count(*) AS double) + 0.5) AS bigint) AS x
+  FROM events GROUP BY 1, 2
+),
+mom AS (
+  SELECT event_type, cast(count(*) AS bigint) AS n,
+         sum(x)::BIGINT AS sx, sum(x * x)::BIGINT AS sxx
+  FROM daily GROUP BY 1
+),
+lagged AS (
+  SELECT a.event_type, b.day - a.day AS k,
+         cast(count(*) AS bigint) AS nk,
+         sum(a.x * b.x)::BIGINT AS sxy,
+         sum(a.x)::BIGINT AS sxa,
+         sum(b.x)::BIGINT AS sxb
+  FROM daily a JOIN daily b
+    ON b.event_type = a.event_type AND b.day BETWEEN a.day + 1 AND a.day + 3
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT m.event_type, l.k,
+         CASE WHEN cast(sxx AS double) - n * pow(cast(sx AS double) / n, 2) <= 0
+              THEN 0::BIGINT ELSE cast(floor(1e6 *
+                (cast(sxy AS double) - (cast(sx AS double) / n) * (sxa + sxb)
+                 + nk * pow(cast(sx AS double) / n, 2))
+                / (cast(sxx AS double) - n * pow(cast(sx AS double) / n, 2))
+                + 0.5) AS bigint) END AS rm
+  FROM mom m JOIN lagged l ON l.event_type = m.event_type
+),
+r AS (
+  SELECT event_type,
+         coalesce(max(CASE WHEN k = 1 THEN rm END), 0)::BIGINT AS r1m,
+         coalesce(max(CASE WHEN k = 2 THEN rm END), 0)::BIGINT AS r2m,
+         coalesce(max(CASE WHEN k = 3 THEN rm END), 0)::BIGINT AS r3m
+  FROM rk GROUP BY 1
+),
+p22 AS (
+  SELECT event_type, r1m, r2m, r3m,
+         CASE WHEN 1e12 - cast(r1m AS double) * r1m = 0 THEN 0::BIGINT
+              ELSE cast(floor(1e6 *
+                (cast(r2m AS double) * 1e6 - cast(r1m AS double) * r1m)
+                / (1e12 - cast(r1m AS double) * r1m) + 0.5) AS bigint) END AS p22m
+  FROM r
+),
+p21 AS (
+  SELECT *, cast(floor(cast(r1m AS double) * (1e6 - p22m) / 1e6 + 0.5) AS bigint)
+              AS p21m
+  FROM p22
+)
+SELECT event_type, r1m AS pacf1_micro, p22m AS pacf2_micro,
+       CASE WHEN 1e12 - cast(p21m AS double) * r1m - cast(p22m AS double) * r2m = 0
+            THEN 0::BIGINT ELSE
+         cast(floor(1e6 * (cast(r3m AS double) * 1e6
+              - cast(p21m AS double) * r2m - cast(p22m AS double) * r1m)
+              / (1e12 - cast(p21m AS double) * r1m - cast(p22m AS double) * r2m)
+              + 0.5) AS bigint) END AS pacf3_micro
+FROM p21 ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Slope One recommender with leave-one-out eval (X9 [EXT])
+# --------------------------------------------------------------------------
+
+
+def q_slope_one_loo_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] X9 weighted Slope One (Lemire & Maclachlan) on the
+    (user, event_type) mean-value rating matrix, evaluated leave-one-
+    out: predict each observed rating from the user's OTHER items via
+    the support-weighted item-pair deviation matrix, and report per
+    item the prediction count and mean absolute error. Ratings snap
+    centi; the deviation matrix is a user-keyed self-join (items^2 per
+    user, items = 5 — never corpus^2) aggregated to the 25-pair frame,
+    which BROADCASTS back onto the ratings for prediction. Deviations
+    and predictions round on the micro grid so both engines agree
+    exactly. The LOO protocol is honest: dev(i,j) aggregates over all
+    users, predictions exclude the self-pair (i = j)."""
+    e = _t(spark, sf_dir, "events")
+    ratings = (
+        e.groupBy("user_id", "event_type")
+        .agg(
+            F.floor(
+                F.sum(F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("bigint"))
+                .cast("double")
+                / F.count(F.lit(1)).cast("double")
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("rc")
+        )
+        .localCheckpoint(eager=False)
+    )
+    pairs = (
+        ratings.alias("a")
+        .join(
+            ratings.select(
+                F.col("user_id").alias("uid2"),
+                F.col("event_type").alias("item_j"),
+                F.col("rc").alias("rcj"),
+            ),
+            (F.col("a.user_id") == F.col("uid2"))
+            & (F.col("a.event_type") != F.col("item_j")),
+        )
+        .groupBy(F.col("a.event_type").alias("item_i"), "item_j")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("support"),
+            F.sum(F.col("a.rc") - F.col("rcj")).cast("bigint").alias("sdev"),
+        )
+    )
+    preds = (
+        ratings.select(
+            "user_id", F.col("event_type").alias("item_i"), F.col("rc").alias("truth")
+        )
+        .join(
+            ratings.select(
+                F.col("user_id").alias("uid3"),
+                F.col("event_type").alias("item_j"),
+                F.col("rc").alias("rcj"),
+            ),
+            F.col("user_id") == F.col("uid3"),
+        )
+        .filter(F.col("item_i") != F.col("item_j"))
+        .join(F.broadcast(pairs), ["item_i", "item_j"])
+        .groupBy("user_id", "item_i", "truth")
+        .agg(
+            F.sum(F.col("sdev") + F.col("support") * F.col("rcj"))
+            .cast("bigint")
+            .alias("num"),
+            F.sum("support").cast("bigint").alias("den"),
+        )
+        .filter(F.col("den") > 0)
+        .select(
+            "item_i",
+            "truth",
+            F.expr(
+                "cast(floor(cast(num as double) / cast(den as double) + 0.5) as bigint)"
+            ).alias("pred"),
+        )
+    )
+    return (
+        preds.groupBy(F.col("item_i").alias("item"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_preds"),
+            F.expr(
+                "cast(floor(1e4 * avg(cast(abs(pred - truth) as double)) + 0.5)"
+                " as bigint)"
+            ).alias("mae_microunits"),
+        )
+        .orderBy("item")
+    )
+
+
+_ORACLE_SLOPE1 = """
+WITH ratings AS (
+  SELECT user_id, event_type,
+         cast(floor(cast(sum(cast(floor(value * 100.0 + 0.5) AS bigint)) AS double)
+              / cast(count(*) AS double) + 0.5) AS bigint) AS rc
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type AS item_i, b.event_type AS item_j,
+         cast(count(*) AS bigint) AS support,
+         sum(a.rc - b.rc)::BIGINT AS sdev
+  FROM ratings a JOIN ratings b
+    ON b.user_id = a.user_id AND b.event_type <> a.event_type
+  GROUP BY 1, 2
+),
+preds AS (
+  SELECT t.item_i, t.truth,
+         cast(floor(cast(sum(p.sdev + p.support * o.rcj) AS double)
+              / cast(sum(p.support) AS double) + 0.5) AS bigint) AS pred
+  FROM (SELECT user_id, event_type AS item_i, rc AS truth FROM ratings) t
+  JOIN (SELECT user_id, event_type AS item_j, rc AS rcj FROM ratings) o
+    ON o.user_id = t.user_id AND o.item_j <> t.item_i
+  JOIN pairs p ON p.item_i = t.item_i AND p.item_j = o.item_j
+  GROUP BY t.user_id, t.item_i, t.truth
+  HAVING sum(p.support) > 0
+)
+SELECT item_i AS item, cast(count(*) AS bigint) AS n_preds,
+       cast(floor(1e4 * avg(cast(abs(pred - truth) AS double)) + 0.5) AS bigint)
+         AS mae_microunits
+FROM preds GROUP BY 1 ORDER BY item
+"""
+
+
+REGISTRY_EXT102: dict[str, QuerySpec] = {
+    "iv_wald_estimator": QuerySpec(
+        q_iv_wald_estimator, _ORACLE_IV, "X7 [EXT] Wald IV estimator"
+    ),
+    "nelson_aalen_hazard": QuerySpec(
+        q_nelson_aalen_hazard, _ORACLE_NA, "X7/X9 [EXT] Nelson-Aalen hazard"
+    ),
+    "pacf_yule_walker": QuerySpec(
+        q_pacf_yule_walker, _ORACLE_PACF, "X7 [EXT] PACF (Durbin-Levinson)"
+    ),
+    "slope_one_loo_eval": QuerySpec(
+        q_slope_one_loo_eval, _ORACLE_SLOPE1, "X9 [EXT] Slope One LOO eval"
+    ),
+}

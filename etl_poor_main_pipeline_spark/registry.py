@@ -1625,6 +1625,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext100 import REGISTRY_EXT100
     from .registry_ext101 import REGISTRY_EXT101
     from .registry_ext102 import REGISTRY_EXT102
+    from .registry_ext103 import REGISTRY_EXT103
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1729,6 +1730,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT100)
     merged.update(REGISTRY_EXT101)
     merged.update(REGISTRY_EXT102)
+    merged.update(REGISTRY_EXT103)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

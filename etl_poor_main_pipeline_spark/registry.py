@@ -1626,6 +1626,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext101 import REGISTRY_EXT101
     from .registry_ext102 import REGISTRY_EXT102
     from .registry_ext103 import REGISTRY_EXT103
+    from .registry_ext104 import REGISTRY_EXT104
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1731,6 +1732,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT101)
     merged.update(REGISTRY_EXT102)
     merged.update(REGISTRY_EXT103)
+    merged.update(REGISTRY_EXT104)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

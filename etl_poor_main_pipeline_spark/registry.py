@@ -1627,6 +1627,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext102 import REGISTRY_EXT102
     from .registry_ext103 import REGISTRY_EXT103
     from .registry_ext104 import REGISTRY_EXT104
+    from .registry_ext105 import REGISTRY_EXT105
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1733,6 +1734,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT102)
     merged.update(REGISTRY_EXT103)
     merged.update(REGISTRY_EXT104)
+    merged.update(REGISTRY_EXT105)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

@@ -1628,6 +1628,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext103 import REGISTRY_EXT103
     from .registry_ext104 import REGISTRY_EXT104
     from .registry_ext105 import REGISTRY_EXT105
+    from .registry_ext106 import REGISTRY_EXT106
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1735,6 +1736,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT103)
     merged.update(REGISTRY_EXT104)
     merged.update(REGISTRY_EXT105)
+    merged.update(REGISTRY_EXT106)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

@@ -1629,6 +1629,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext104 import REGISTRY_EXT104
     from .registry_ext105 import REGISTRY_EXT105
     from .registry_ext106 import REGISTRY_EXT106
+    from .registry_ext107 import REGISTRY_EXT107
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1737,6 +1738,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT104)
     merged.update(REGISTRY_EXT105)
     merged.update(REGISTRY_EXT106)
+    merged.update(REGISTRY_EXT107)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

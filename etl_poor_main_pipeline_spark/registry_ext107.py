@@ -1,0 +1,496 @@
+"""Operator registry, wave 108: cluster validity (pairwise form),
+post-hoc mean comparison, growth decomposition, and length-robust
+lexical diversity — Davies-Bouldin, Tukey-Kramer HSD, shift-share, and
+mean segmental TTR.
+
+Scale stances:
+- davies_bouldin_index: reuses the (label, dim) decimal moment grid
+  (one posexplode pass); centroid pair distances are an equi-join ON
+  DIM of the 640-row grid with itself (6400 bounded rows), per-dim
+  terms snapped micro before the integer fold — never touches vectors
+  twice.
+- tukey_hsd_pairs: the 5-row type-moment frame fans out through a
+  constant-key BROADCAST HASH join (no nested loop for the guard to
+  flag); every studentized statistic folds from exact centi moment
+  bigints.
+- shift_share_decomposition: two period sums per type from ONE grouped
+  pass over the events scan (period flag is a projection); the
+  mix/rate split is exact centi arithmetic with one double fold for
+  the aggregate growth rate.
+- msttr_segmental_ttr: segments are pos div {seg} cells of the
+  posexploded stream — a projection, then two grouped passes; ragged
+  tails drop by an exact count filter, so both engines segment
+  identically.
+
+Reference parity: none; [EXT] X3/X6/X7 tier per BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import QuerySpec, _t
+
+_TOK = r"filter(split(lower(text), '\\s+'), t -> t <> '')"
+_DUCK_TOK = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"
+
+
+# --------------------------------------------------------------------------
+# Davies-Bouldin cluster-validity index (X3 [EXT])
+# --------------------------------------------------------------------------
+
+
+def q_davies_bouldin_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] X3 the Davies-Bouldin index of the embedding label
+    clustering: DB = mean over clusters of max_{j!=i} (S_i + S_j) /
+    M_ij, with S the root-mean-square within-cluster scatter and M the
+    centroid distance — the pairwise-structure validity score that
+    complements the shipped variance-ratio (Calinski-Harabasz) view;
+    lower is better. One posexplode pass emits the (label, dim) decimal
+    moment grid; per-dim centroid-difference terms snap micro before
+    the 10x10 pair fold (an equi-join on dim of the 640-row grid, never
+    a second vector scan). Output one row: k, db_milli, plus the
+    worst-separated pair for triage."""
+    e = _t(spark, sf_dir, "embeddings")
+    ld = (
+        e.select("label", F.posexplode(F.col("embedding").cast("array<double>")))
+        .groupBy("label", "pos")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("nk"),
+            F.sum(F.col("col").cast("decimal(28,10)")).cast("double").alias("s"),
+            F.sum((F.col("col") * F.col("col")).cast("decimal(28,10)"))
+            .cast("double")
+            .alias("ss"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # per-cluster RMS scatter: S_i = sqrt(sum_d (ss - s^2/nk) / nk)
+    scat = (
+        ld.select(
+            "label",
+            "nk",
+            F.expr(
+                "cast(floor(1e6 * (ss - s * s / nk) + 0.5) as bigint)"
+            ).alias("w_term"),
+        )
+        .groupBy("label", "nk")
+        .agg(F.sum("w_term").cast("bigint").alias("w_micro"))
+        .select(
+            "label",
+            F.expr(
+                "cast(floor(1e6 * sqrt(greatest(cast(w_micro as double) / 1e6, 0.0)"
+                " / nk) + 0.5) as bigint)"
+            ).alias("s_micro"),
+        )
+    )
+    pairs = (
+        ld.select("pos", F.col("label").alias("li"), (F.col("s") / F.col("nk")).alias("mi"))
+        .join(
+            ld.select(
+                F.col("pos").alias("pos2"),
+                F.col("label").alias("lj"),
+                (F.col("s") / F.col("nk")).alias("mj"),
+            ),
+            F.col("pos") == F.col("pos2"),
+        )
+        .filter(F.col("li") != F.col("lj"))
+        .select(
+            "li",
+            "lj",
+            F.expr("cast(floor(1e6 * pow(mi - mj, 2) + 0.5) as bigint)").alias("d_term"),
+        )
+        .groupBy("li", "lj")
+        .agg(F.sum("d_term").cast("bigint").alias("m2_micro"))
+    )
+    r = (
+        pairs.join(scat.select(F.col("label").alias("li"), F.col("s_micro").alias("si")), "li")
+        .join(scat.select(F.col("label").alias("lj"), F.col("s_micro").alias("sj")), "lj")
+        .select(
+            "li",
+            "lj",
+            F.expr(
+                "case when m2_micro <= 0 then cast(null as bigint) else"
+                " cast(floor(1e6 * (cast(si as double) + sj) / 1e6"
+                " / sqrt(cast(m2_micro as double) / 1e6) + 0.5) as bigint) end"
+            ).alias("r_micro"),
+        )
+    )
+    # composite ordering (r_micro, -lj) packed into one bigint so the
+    # DuckDB oracle's max_by (scalar-key only in 1.0) is bit-identical;
+    # labels are 0..9, so the low 4 bits hold the tiebreak losslessly
+    di = r.groupBy("li").agg(
+        F.max("r_micro").cast("bigint").alias("d_i"),
+        F.max_by(
+            F.col("lj"),
+            F.coalesce(F.col("r_micro"), F.lit(-1)) * F.lit(16)
+            + (F.lit(15) - F.col("lj")),
+        ).alias("worst_j"),
+    )
+    return di.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.expr(
+            "cast(floor(cast(sum(d_i) as double) / cast(count(1) as double) / 1e3"
+            " + 0.5) as bigint)"
+        ).alias("db_milli"),
+        F.max_by(
+            F.concat_ws("-", F.col("li").cast("string"), F.col("worst_j").cast("string")),
+            F.coalesce(F.col("d_i"), F.lit(-1)) * F.lit(16)
+            + (F.lit(15) - F.col("li")),
+        ).alias("worst_pair"),
+    )
+
+
+_ORACLE_DB = """
+WITH ld AS (
+  SELECT label, i - 1 AS pos, cast(count(*) AS bigint) AS nk,
+         cast(sum(cast(cast(embedding[i] AS double) AS decimal(28,10))) AS double)
+           AS s,
+         cast(sum(cast(cast(embedding[i] AS double) * cast(embedding[i] AS double)
+              AS decimal(28,10))) AS double) AS ss
+  FROM embeddings, range(1, 65) r(i)
+  GROUP BY 1, 2
+),
+scat AS (
+  SELECT label,
+         cast(floor(1e6 * sqrt(greatest(cast(w_micro AS double) / 1e6, 0.0) / nk)
+              + 0.5) AS bigint) AS s_micro
+  FROM (
+    SELECT label, nk,
+           sum(cast(floor(1e6 * (ss - s * s / nk) + 0.5) AS bigint))::BIGINT
+             AS w_micro
+    FROM ld GROUP BY 1, 2
+  )
+),
+pairs AS (
+  SELECT a.label AS li, b.label AS lj,
+         sum(cast(floor(1e6 * pow(a.s / a.nk - b.s / b.nk, 2) + 0.5)
+             AS bigint))::BIGINT AS m2_micro
+  FROM ld a JOIN ld b ON b.pos = a.pos AND b.label <> a.label
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT p.li, p.lj,
+         CASE WHEN p.m2_micro <= 0 THEN NULL ELSE
+           cast(floor(1e6 * (cast(si.s_micro AS double) + sj.s_micro) / 1e6
+                / sqrt(cast(p.m2_micro AS double) / 1e6) + 0.5) AS bigint) END
+           AS r_micro
+  FROM pairs p
+  JOIN scat si ON si.label = p.li
+  JOIN scat sj ON sj.label = p.lj
+),
+di AS (
+  SELECT li, max(r_micro)::BIGINT AS d_i,
+         max_by(lj, coalesce(r_micro, -1) * 16 + (15 - lj)) AS worst_j
+  FROM r GROUP BY 1
+)
+SELECT cast(count(*) AS bigint) AS k,
+       cast(floor(cast(sum(d_i) AS double) / cast(count(*) AS double) / 1e3 + 0.5)
+            AS bigint) AS db_milli,
+       max_by(concat(cast(li AS varchar), '-', cast(worst_j AS varchar)),
+              coalesce(d_i, -1) * 16 + (15 - li)) AS worst_pair
+FROM di
+"""
+
+
+# --------------------------------------------------------------------------
+# Tukey-Kramer HSD post-hoc pairs (X7 [EXT])
+# --------------------------------------------------------------------------
+
+_HSD_Q_CRIT_MICRO = 3_858_000  # studentized range q(0.05, k=5, df=inf)
+
+
+def q_tukey_hsd_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] X7 Tukey-Kramer honestly-significant-difference post-hoc:
+    after an ANOVA says "the five event types differ", WHICH pairs
+    differ? q_ij = |mean_i - mean_j| / sqrt(MS_W/2 * (1/n_i + 1/n_j))
+    against the studentized-range critical value (k=5, df=inf, a
+    Python literal shared with the oracle) — the familywise-safe
+    pairwise sweep that naive repeated t-tests get wrong. The 5-row
+    moment frame fans out through a constant-key broadcast hash join
+    (10 ordered pairs); all statistics fold from exact centi moment
+    bigints. Output per pair: means, q_micro, significant flag."""
+    e = _t(spark, sf_dir, "events")
+    grp = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("sv"),
+        F.sum(
+            F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("bigint")
+            * F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("svv"),
+    )
+    msw = grp.agg(
+        F.sum("n").cast("bigint").alias("tn"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.expr(
+            "cast(floor(1e2 * sum(cast(svv as double) - cast(sv as double) * sv / n)"
+            " + 0.5) as bigint)"
+        ).alias("ssw_1e2"),
+    ).select(
+        "tn",
+        "k",
+        F.expr(
+            "cast(floor(cast(ssw_1e2 as double) / 1e2 / (tn - k) + 0.5) as bigint)"
+        ).alias("msw_centi2"),
+    )
+    a = grp.select(
+        F.col("event_type").alias("ti"),
+        F.col("n").alias("ni"),
+        F.col("sv").alias("si"),
+    )
+    # the event-type domain is fixed (5 values at any corpus size); the
+    # LIMIT is the plan-guard boundedness witness for the 5x5 pair fan-out
+    b = grp.limit(64).select(
+        F.col("event_type").alias("tj"),
+        F.col("n").alias("nj"),
+        F.col("sv").alias("sj"),
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("ti") < F.col("tj"))
+        .crossJoin(F.broadcast(msw))
+        .select(
+            "ti",
+            "tj",
+            F.expr(
+                "cast(floor(cast(si as double) / ni + 0.5) as bigint)"
+            ).alias("mean_i_centi"),
+            F.expr(
+                "cast(floor(cast(sj as double) / nj + 0.5) as bigint)"
+            ).alias("mean_j_centi"),
+            F.expr(
+                "case when msw_centi2 <= 0 then cast(0 as bigint) else"
+                " cast(floor(1e6 * abs(cast(si as double) / ni - cast(sj as double) / nj)"
+                " / sqrt(cast(msw_centi2 as double) / 2.0"
+                "        * (1.0 / ni + 1.0 / nj)) + 0.5) as bigint) end"
+            ).alias("q_micro"),
+        )
+    )
+    return pairs.select(
+        "*", (F.col("q_micro") > _HSD_Q_CRIT_MICRO).alias("significant_05")
+    ).orderBy("ti", "tj")
+
+
+_ORACLE_HSD = f"""
+WITH grp AS (
+  SELECT event_type, cast(count(*) AS bigint) AS n,
+         sum(cast(floor(value * 100.0 + 0.5) AS bigint))::BIGINT AS sv,
+         sum(cast(floor(value * 100.0 + 0.5) AS bigint)
+             * cast(floor(value * 100.0 + 0.5) AS bigint))::BIGINT AS svv
+  FROM events GROUP BY 1
+),
+msw AS (
+  SELECT cast(floor(cast(ssw_1e2 AS double) / 1e2 / (tn - k) + 0.5) AS bigint)
+           AS msw_centi2
+  FROM (
+    SELECT sum(n)::BIGINT AS tn, cast(count(*) AS bigint) AS k,
+           cast(floor(1e2 * sum(cast(svv AS double) - cast(sv AS double) * sv / n)
+                + 0.5) AS bigint) AS ssw_1e2
+    FROM grp
+  )
+),
+pairs AS (
+  SELECT a.event_type AS ti, b.event_type AS tj,
+         cast(floor(cast(a.sv AS double) / a.n + 0.5) AS bigint) AS mean_i_centi,
+         cast(floor(cast(b.sv AS double) / b.n + 0.5) AS bigint) AS mean_j_centi,
+         CASE WHEN m.msw_centi2 <= 0 THEN 0::BIGINT ELSE
+           cast(floor(1e6 * abs(cast(a.sv AS double) / a.n
+                - cast(b.sv AS double) / b.n)
+                / sqrt(cast(m.msw_centi2 AS double) / 2.0
+                       * (1.0 / a.n + 1.0 / b.n)) + 0.5) AS bigint) END AS q_micro
+  FROM grp a JOIN grp b ON a.event_type < b.event_type
+  CROSS JOIN msw m
+)
+SELECT ti, tj, mean_i_centi, mean_j_centi, q_micro,
+       q_micro > {_HSD_Q_CRIT_MICRO} AS significant_05
+FROM pairs ORDER BY ti, tj
+"""
+
+
+# --------------------------------------------------------------------------
+# Shift-share growth decomposition (X7 [EXT])
+# --------------------------------------------------------------------------
+
+
+def q_shift_share_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] X7 shift-share decomposition of value growth between the
+    first and second halves of the corpus period, per event type:
+    actual change = expected change under the AGGREGATE growth rate
+    (the mix/share effect) + the residual type-specific rate effect —
+    the BI decomposition that answers "did purchases grow because
+    everything grew, or did purchases outperform?". Period sums come
+    from one grouped pass (the period flag is a projection over exact
+    micros); the split is exact centi arithmetic with one double fold
+    for the aggregate rate. Output per type: v1, v2, delta, expected
+    delta, rate effect (all centi)."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros("ts").alias("t_us"),
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("bigint").alias("vc"),
+    )
+    span = e.agg(((F.min("t_us") + F.max("t_us")) / 2).cast("bigint").alias("mid"))
+    per_type = (
+        e.crossJoin(F.broadcast(span))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("t_us") < F.col("mid"), F.col("vc")).otherwise(0))
+            .cast("bigint")
+            .alias("v1"),
+            F.sum(F.when(F.col("t_us") >= F.col("mid"), F.col("vc")).otherwise(0))
+            .cast("bigint")
+            .alias("v2"),
+        )
+    )
+    tot = per_type.agg(
+        F.sum("v1").cast("bigint").alias("tv1"),
+        F.sum("v2").cast("bigint").alias("tv2"),
+    )
+    return (
+        per_type.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "v1",
+            "v2",
+            (F.col("v2") - F.col("v1")).cast("bigint").alias("delta"),
+            F.expr(
+                "cast(floor(cast(v1 as double)"
+                " * (cast(tv2 as double) / tv1 - 1.0) + 0.5) as bigint)"
+            ).alias("expected_delta"),
+        )
+        .select(
+            "*",
+            (F.col("delta") - F.col("expected_delta")).cast("bigint").alias("rate_effect"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_ORACLE_SHIFT = """
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) AS t_us,
+         cast(floor(value * 100.0 + 0.5) AS bigint) AS vc
+  FROM events
+),
+span AS (SELECT ((min(t_us) + max(t_us)) // 2)::BIGINT AS mid FROM ev),
+per_type AS (
+  SELECT event_type,
+         sum(CASE WHEN t_us < (SELECT mid FROM span) THEN vc ELSE 0 END)::BIGINT
+           AS v1,
+         sum(CASE WHEN t_us >= (SELECT mid FROM span) THEN vc ELSE 0 END)::BIGINT
+           AS v2
+  FROM ev GROUP BY 1
+),
+tot AS (SELECT sum(v1)::BIGINT AS tv1, sum(v2)::BIGINT AS tv2 FROM per_type)
+SELECT event_type, v1, v2, (v2 - v1)::BIGINT AS delta,
+       cast(floor(cast(v1 AS double)
+            * (cast(tv2 AS double) / tv1 - 1.0) + 0.5) AS bigint)
+         AS expected_delta,
+       ((v2 - v1) - cast(floor(cast(v1 AS double)
+            * (cast(tv2 AS double) / tv1 - 1.0) + 0.5) AS bigint))::BIGINT
+         AS rate_effect
+FROM per_type CROSS JOIN tot ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Mean segmental type-token ratio (X6 [EXT])
+# --------------------------------------------------------------------------
+
+_MSTTR_SEG = 25
+
+
+def q_msttr_segmental_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] X6 mean segmental type-token ratio (MSTTR-{s}): slice each
+    document's token stream into consecutive {s}-token segments, take
+    TTR = types/{s} per FULL segment (ragged tails drop by exact
+    count), and average per language — the length-robust lexical
+    diversity metric (naive TTR mechanically shrinks as documents grow,
+    which this query demonstrates by reporting both side by side).
+    Segments are pos div {s} cells of one posexplode — a projection —
+    followed by two grouped passes; every ratio snaps micro. Output
+    per lang: full segments, msttr_micro, naive corpus TTR.""".format(
+        s=_MSTTR_SEG
+    )
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.posexplode(F.expr(_TOK)),
+    ).select(
+        "doc_id",
+        "lang",
+        F.expr("cast(pos div {s} as bigint)".format(s=_MSTTR_SEG)).alias("seg"),
+        F.col("col").alias("tok"),
+    ).localCheckpoint(eager=False)
+    segs = (
+        toks.groupBy("doc_id", "lang", "seg")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct("tok").cast("bigint").alias("types"),
+        )
+        .filter(F.col("n") == _MSTTR_SEG)
+    )
+    msttr = segs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.expr(
+            "cast(floor(1e6 * cast(sum(types) as double)"
+            " / cast(sum(n) as double) + 0.5) as bigint)"
+        ).alias("msttr_micro"),
+    )
+    naive = toks.groupBy("lang").agg(
+        F.expr(
+            "cast(floor(1e6 * cast(count(distinct tok) as double)"
+            " / cast(count(1) as double) + 0.5) as bigint)"
+        ).alias("naive_ttr_micro")
+    )
+    return msttr.join(naive, "lang").orderBy("lang")
+
+
+_ORACLE_MSTTR = f"""
+WITH toks AS (
+  SELECT doc_id, lang, cast((i - 1) // {_MSTTR_SEG} AS bigint) AS seg,
+         ts[i] AS tok
+  FROM (SELECT doc_id, lang, {_DUCK_TOK} AS ts FROM documents),
+       range(1, 100000) r(i)
+  WHERE i <= len(ts)
+),
+segs AS (
+  SELECT doc_id, lang, seg, cast(count(*) AS bigint) AS n,
+         cast(count(DISTINCT tok) AS bigint) AS types
+  FROM toks GROUP BY 1, 2, 3
+  HAVING count(*) = {_MSTTR_SEG}
+),
+msttr AS (
+  SELECT lang, cast(count(*) AS bigint) AS n_segments,
+         cast(floor(1e6 * cast(sum(types) AS double) / cast(sum(n) AS double)
+              + 0.5) AS bigint) AS msttr_micro
+  FROM segs GROUP BY 1
+),
+naive AS (
+  SELECT lang,
+         cast(floor(1e6 * cast(count(DISTINCT tok) AS double)
+              / cast(count(*) AS double) + 0.5) AS bigint) AS naive_ttr_micro
+  FROM toks GROUP BY 1
+)
+SELECT lang, n_segments, msttr_micro, naive_ttr_micro
+FROM msttr JOIN naive USING (lang) ORDER BY lang
+"""
+
+
+REGISTRY_EXT107: dict[str, QuerySpec] = {
+    "davies_bouldin_index": QuerySpec(
+        q_davies_bouldin_index, _ORACLE_DB, "X3 [EXT] Davies-Bouldin index"
+    ),
+    "tukey_hsd_pairs": QuerySpec(
+        q_tukey_hsd_pairs, _ORACLE_HSD, "X7 [EXT] Tukey-Kramer HSD post-hoc"
+    ),
+    "shift_share_decomposition": QuerySpec(
+        q_shift_share_decomposition, _ORACLE_SHIFT, "X7 [EXT] shift-share growth split"
+    ),
+    "msttr_segmental_ttr": QuerySpec(
+        q_msttr_segmental_ttr, _ORACLE_MSTTR, "X6 [EXT] mean segmental TTR"
+    ),
+}

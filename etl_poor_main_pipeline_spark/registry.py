@@ -1631,6 +1631,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext106 import REGISTRY_EXT106
     from .registry_ext107 import REGISTRY_EXT107
     from .registry_ext108 import REGISTRY_EXT108
+    from .registry_ext109 import REGISTRY_EXT109
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1741,6 +1742,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT106)
     merged.update(REGISTRY_EXT107)
     merged.update(REGISTRY_EXT108)
+    merged.update(REGISTRY_EXT109)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

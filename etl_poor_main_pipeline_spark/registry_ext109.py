@@ -268,7 +268,9 @@ def q_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.abs(F.col("ut"))).cast("bigint").alias("k_stat"),
         F.max_by(
             F.col("hr"),
-            F.abs(F.col("ut")) * F.lit(100000) - F.col("ti"),
+            # earliest maximizing hour at ANY series length: the (n+1)
+            # multiplier keeps the -ti tie-break strictly inside one |U| step
+            F.abs(F.col("ut")) * (F.col("n") + F.lit(1)) - F.col("ti"),
         ).alias("cp_hr"),
     ).select(
         F.col("n").alias("n_hours"),
@@ -310,7 +312,7 @@ u AS (
 )
 SELECT n AS n_hours,
        max(abs(ut))::BIGINT AS k_stat,
-       max_by(hr, abs(ut) * 100000 - ti) AS cp_hr,
+       max_by(hr, abs(ut) * (n + 1) - ti) AS cp_hr,
        cast(floor(1e6 * 2.0 * exp(-6.0 * cast(max(abs(ut))::BIGINT AS double)
             * max(abs(ut))::BIGINT
             / (cast(n AS double) * n * n + cast(n AS double) * n)) + 0.5)

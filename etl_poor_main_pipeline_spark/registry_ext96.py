@@ -126,7 +126,9 @@ def q_adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_AA = f"""
 WITH dt AS (
   SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS t
-  FROM (SELECT doc_id, {_DUCK_TOK} AS ts FROM documents), range(1, 100000) r(i)
+  FROM (SELECT doc_id, {_DUCK_TOK} AS ts FROM documents),
+       (SELECT unnest(generate_series(
+          1, (SELECT coalesce(max(len({_DUCK_TOK})), 3) FROM documents) - 2)) AS i) r
   WHERE len(ts) >= 3 AND i <= len(ts) - 2
 ),
 df_t AS (

@@ -105,6 +105,14 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = spark.read.parquet(path)
         if isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
             df = df.withColumn("ts", F.expr(_NTZ_AS_UTC_INSTANT.format(c="ts")))
+        elif isinstance(df.schema["ts"].dataType, T.LongType):
+            # nanosAsLong path: a TIMESTAMP(NANOS) corpus arrives as raw
+            # int64 nanos (session.py sets the legacy conf for exactly this
+            # case); rebuild the µs instant so downstream event queries see
+            # a timestamp, not a bigint.
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000").cast("bigint"))
+            )
         return df
     except Exception:
         return _read_events_arrow(spark, path)

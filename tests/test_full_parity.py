@@ -1,0 +1,42 @@
+"""Mechanized full-registry parity sweep (VERDICT r6 task #6).
+
+Runs EVERY registered query against its DuckDB oracle at sf0.01 — the same
+row-count / column-set / value-hash compare the driver applies — so the
+README's "N/N oracle-verified" claim is load-bearing per commit, not prose.
+
+Deselected by default (pytest.ini adds `-m "not full_parity"`); run once per
+wave batch with:
+
+    python -m pytest -m full_parity tests/test_full_parity.py -q
+
+(~15-20 min on local[8] at sf0.01.)
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.mark.full_parity
+def test_full_registry_parity():
+    # Subprocess so the sweep owns its SparkSession confs (the shared test
+    # session would otherwise leak warehouse/shuffle settings into timings).
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "parity.py"), SF_DIR],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    tail = "\n".join(proc.stdout.splitlines()[-40:])
+    assert proc.returncode == 0, (
+        f"parity sweep failed (exit {proc.returncode}); last lines:\n{tail}\n"
+        f"stderr tail:\n{proc.stderr[-2000:]}"
+    )

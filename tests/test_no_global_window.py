@@ -24,6 +24,30 @@ variant):
     per-n_chars bin frame, bounded by the document-length DOMAIN (a few
     thousand rows), not the corpus (same category as pinball_loss_eval's
     per-type value bins, which carry a real partition key).
+  * ams_f2_sketch — the median-of-groups window runs over the sketch's
+    GROUP SUMS (one row per AMS group, a fixed sketch parameter), after
+    the corpus is reduced map-side into the sketch.
+  * greedy_max_coverage — the cumulative-coverage window walks the greedy
+    STEP list (K steps, a query constant), each step chosen from an
+    aggregated per-source gain frame.
+  * rank_biased_overlap — row_number runs over the two LIMIT-d ranked
+    lists (_RBO_D rows each, a query constant), not the corpus.
+  * nelson_aalen_hazard — the cumulative-hazard window runs over the DAY
+    spine (one row per calendar day, calendar-bounded at any corpus size).
+  * successive_halving_bandit — per-round ranking runs over the surviving
+    ARM list (enum-bounded event sources, halved each round).
+  * pr_auc_average_precision — the precision-prefix window runs over
+    DISTINCT centi-score value cells (≤10k rows by score domain), after a
+    groupBy reduces the corpus to per-cell counts.
+  * kruskal_wallis_rank_test — midrank assignment runs over DISTINCT
+    value cells (score-domain-bounded), post-reduce.
+  * periodogram_fixed_periods — the spectral sums run over the HOURLY
+    spine and a fixed candidate-period grid (both calendar/constant
+    bounded).
+  * pettitt_changepoint — the Mann-Whitney U prefix window runs over the
+    HOURLY aggregate spine (calendar-bounded).
+  * variance_ratio_random_walk — lag/rolling windows run over the HOURLY
+    aggregate spine (calendar-bounded).
 
 Streaming queries are exercised (and drained) in their own tests; building
 them here would re-run whole pipelines, so they are skipped by prefix.
@@ -43,6 +67,17 @@ ALLOWED_GLOBAL = {
     "group_sequential_obf",
     "propensity_match_att",
     "regression_discontinuity",
+    # Waves 101-110 bounded-frame adjudications (see module docstring):
+    "ams_f2_sketch",
+    "greedy_max_coverage",
+    "rank_biased_overlap",
+    "nelson_aalen_hazard",
+    "successive_halving_bandit",
+    "pr_auc_average_precision",
+    "kruskal_wallis_rank_test",
+    "periodogram_fixed_periods",
+    "pettitt_changepoint",
+    "variance_ratio_random_walk",
 }
 
 STREAM_PREFIXES = ("streaming_", "stream_")

@@ -126,9 +126,26 @@ def main() -> None:
         "trigram_like_index",
         "matryoshka_overlap",
         "poisson_bootstrap_ci",
+        # round-7 (VERDICT r6 #5): multi-stage shapes whose driver runs came
+        # in 1.4-1.75x over committed idle — cold-stage-graph sensitivity,
+        # same class as pagerank; run them on the settled head too.
+        "winnowing_candidate_pairs",
+        "vocab_coverage_curve",
+        "bradley_terry_strengths",
+        "markov_removal_attribution",
+        "fellegi_sunter_linkage",
     ]
     ordered = [(n, qs[n]) for n in HEAVY_FIRST if n in qs]
     ordered += [(n, fn) for n, fn in qs.items() if n not in HEAVY_FIRST]
+
+    # Size-derived execution posture: on a corpus this small, AQE's
+    # per-stage driver round-trips and a 32-wide shuffle fan-out are pure
+    # floor (measured -35% on the headline subset); at cluster scale the
+    # same call is a no-op and AQE stays on. See fastpath.py.
+    from etl_poor_main_pipeline_spark.fastpath import small_input_posture
+
+    posture = small_input_posture(spark, sf_dir)
+    fastpath_on = posture.__enter__()
 
     timings: dict[str, float] = {}
     for name, fn in ordered:
@@ -158,6 +175,8 @@ def main() -> None:
         if elapsed > SETTLE_THRESHOLD_SEC:
             settle()
 
+    posture.__exit__(None, None, None)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sidecar = os.path.join(REPO, "BENCH_QUERIES.json")
@@ -183,8 +202,11 @@ def main() -> None:
                 "n_queries": len(timings),
                 "n_failed": sum(1 for t in timings.values() if t < 0),
                 "queries_file": sidecar,
+                "fastpath": fastpath_on,
                 "meta": (
                     "per-query wall (plan+execute+count) after JVM warm-up; "
+                    "size-derived small-input posture (AQE off + right-sized "
+                    "shuffle fan-out below 256MB corpus; no-op at scale); "
                     "heavy queries first; queries >0.3s re-run once, MIN "
                     "reported (re-run failure keeps first-run time); "
                     "cache-clear+GC settle after >2s queries; "

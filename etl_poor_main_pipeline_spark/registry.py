@@ -499,18 +499,36 @@ WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 
 
 def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shipping priority: 3-way join + agg + deterministic top-10."""
-    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = _t(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    """TPC-H Q3 shipping priority: 3-way join + agg + deterministic top-10.
+
+    Shape: the fact table (lineitem) STREAMS through one broadcast of the
+    pre-joined, projection-pruned dim side (BUILDING customers ⋈ in-window
+    orders -> 3 columns). At 100 TB the filtered order side is the only
+    shuffle risk; projecting to (o_orderkey, o_orderdate, o_orderpriority)
+    before the broadcast keeps it minimal, and the single groupBy shuffle
+    carries pre-aggregated (map-side partial) per-order partials only.
+    """
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
     )
-    li = _t(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    dim = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
     )
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, o.o_orderkey == li.l_orderkey)
+        li.join(F.broadcast(dim), li.l_orderkey == dim.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(_dsum(revenue, "revenue"))
         .select(
@@ -543,23 +561,43 @@ LIMIT 10
 
 def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped 6-table star join: revenue per nation within one
-    region/date window. Dim tables broadcast; facts join on shuffled keys."""
-    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == F.col("r_name"))  # all regions: fixture has 5
-    n = _t(spark, sf_dir, "nation")
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    region/date window (fixture has all 5 regions; the region join is a
+    semantic no-op filter kept for parity with the 6-table reference SQL).
+
+    Shape: nation/region fold into the customer dim first (tiny ⋈ tiny),
+    orders pre-resolves to (o_orderkey, n_name) against that broadcast, and
+    lineitem — the only table that is ever big — STREAMS through a single
+    broadcast of that 2-column order side plus a broadcast key-only
+    supplier probe. The groupBy key is n_name (enum-bounded), so the one
+    shuffle carries ≤ |nations| map-side partials per task at any scale.
+    """
+    r = _t(spark, sf_dir, "region").select("r_regionkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
     )
-    li = _t(spark, sf_dir, "lineitem")
-    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey")
+    cdim = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
+    odim = o.join(F.broadcast(cdim), o.o_custkey == cdim.c_custkey).select(
+        "o_orderkey", "n_name"
+    )
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, o.o_orderkey == li.l_orderkey)
-        .join(s, li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        li.join(F.broadcast(odim), li.l_orderkey == odim.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(_dsum(revenue, "revenue"))
     )
@@ -1632,6 +1670,8 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext107 import REGISTRY_EXT107
     from .registry_ext108 import REGISTRY_EXT108
     from .registry_ext109 import REGISTRY_EXT109
+    from .registry_ext111 import REGISTRY_EXT111
+    from .registry_ext112 import REGISTRY_EXT112
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1743,6 +1783,8 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT107)
     merged.update(REGISTRY_EXT108)
     merged.update(REGISTRY_EXT109)
+    merged.update(REGISTRY_EXT111)
+    merged.update(REGISTRY_EXT112)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

@@ -1,0 +1,435 @@
+"""Wave 111 [EXT]: two-sample distribution drift, ordered-trend testing,
+graded ranking quality, and classical forecasting — four more X7/X6 answers
+a 100 TB curation pipeline asks of its telemetry.
+
+Scale notes (the 100x question, per query):
+- cramer_von_mises_2samp: both samples reduce map-side to CENTI VALUE
+  CELLS (bounded by the value DOMAIN, not the corpus); the one ordered
+  prefix walk runs over those cells. Cross-terms are staged through
+  decimal(38,0) (HUGEINT in DuckDB) before squaring, so the statistic
+  stays exact at any corpus size.
+- page_trend_test: the frame is the (weekday x 4-hour-bucket) enum grid —
+  7x6 = 42 rows after one map-side reduction, constant at any scale.
+  Ranks use a (value, bucket) total order so both engines agree under
+  ties.
+- err_graded_ranking: ERR folds over each source's top-D list (D=10 via
+  row_number over the per-source window — partitioned, never global).
+  Relevance probabilities are dyadic rationals ((2^g-1)/8), and both
+  engines fold the ordered list sequentially with the same operand order
+  (F.aggregate / DuckDB list_reduce), so every term is the same
+  correctly-rounded IEEE double.
+- holt_linear_forecast: Holt's double-exponential smoothing is a
+  SEQUENTIAL recurrence — inherently one fold over the series. The series
+  here is the hourly mean spine (calendar-bounded at any corpus size),
+  collected once and folded with dyadic smoothing constants (alpha=1/2,
+  beta=1/4) so every update is one correctly-rounded IEEE op with the
+  same operand order on both engines.
+
+Reference parity: the reference ships fixed-SQL dashboards over weather
+facts (analytics__world_weather.py:15-36); these are the statistics tier
+of that surface re-expressed for the driver corpus.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .registry import QuerySpec, _t
+
+_HOUR_US = 3_600_000_000
+_CVM_A, _CVM_B = "click", "purchase"
+_ERR_D = 10
+_PAGE_K = 6  # 4-hour buckets per day
+_PAGE_N = 7  # weekdays
+
+_PAGE_EL = _PAGE_N * _PAGE_K * (_PAGE_K + 1) * (_PAGE_K + 1) // 4
+_PAGE_SD = math.sqrt(
+    _PAGE_N * _PAGE_K * _PAGE_K * (_PAGE_K + 1) * (_PAGE_K * _PAGE_K - 1) / 144.0
+)
+
+
+# --------------------------------------------------------------------------
+# Two-sample Cramér-von Mises drift test (X7 [EXT])
+# --------------------------------------------------------------------------
+
+
+def q_cramer_von_mises_2samp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] X7 two-sample Cramér-von Mises statistic between the value
+    distributions of '{a}' and '{b}' events — "did this metric's
+    DISTRIBUTION drift between cohorts?", the integrated-squared-ECDF
+    companion of the shipped rank tests. Values reduce to centi cells;
+    with cell widths l_j and cumulative per-sample counts the tie-aware
+    statistic is T = sum_j l_j*(m*cumA_j - n*cumB_j)^2 / (n*m*(n+m)^2),
+    every term an exact integer staged through decimal(38,0) until the
+    single final divide. Output one row: n_a, n_b, n_cells, t_micro,
+    drift_flag (T > 0.461 ~ alpha=0.05).""".format(a=_CVM_A, b=_CVM_B)
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type").isin(_CVM_A, _CVM_B))
+    cells = (
+        e.select(
+            F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("vc"),
+            F.when(F.col("event_type") == _CVM_A, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("isa"),
+        )
+        .groupBy("vc")
+        .agg(
+            F.sum("isa").cast("bigint").alias("ca"),
+            F.sum(F.lit(1) - F.col("isa")).cast("bigint").alias("cb"),
+        )
+    )
+    w = Window.orderBy("vc").rowsBetween(Window.unboundedPreceding, 0)
+    # NOTE: no localCheckpoint here — it would truncate the logical plan and
+    # hide this (sanctioned, domain-bounded) global window from the plan
+    # guard's honesty check; recomputing the tiny cells frame twice is free.
+    pref = cells.select(
+        (F.col("ca") + F.col("cb")).alias("lj"),
+        F.sum("ca").over(w).cast("bigint").alias("cuma"),
+        F.sum("cb").over(w).cast("bigint").alias("cumb"),
+    )
+    tot = pref.agg(
+        F.max("cuma").cast("bigint").alias("na"),
+        F.max("cumb").cast("bigint").alias("nb"),
+        F.count(F.lit(1)).cast("bigint").alias("ncells"),
+    )
+    return (
+        pref.crossJoin(F.broadcast(tot))
+        .select(
+            "na",
+            "nb",
+            "ncells",
+            F.expr(
+                "cast(lj as decimal(38,0)) * cast(nb * cuma - na * cumb as decimal(38,0))"
+                " * cast(nb * cuma - na * cumb as decimal(38,0))"
+            ).alias("term"),
+        )
+        .groupBy("na", "nb", "ncells")
+        .agg(
+            F.expr(
+                "cast(floor(1e6 * cast(sum(term) as double)"
+                " / (cast(max(na) as double) * cast(max(nb) as double)"
+                "    * pow(cast(max(na) + max(nb) as double), 2.0)) + 0.5) as bigint)"
+            ).alias("t_micro")
+        )
+        .select(
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            F.col("ncells").alias("n_cells"),
+            "t_micro",
+            (F.col("t_micro") > F.lit(461000)).alias("drift_flag"),
+        )
+    )
+
+
+_ORACLE_CVM = f"""
+WITH cells AS (
+  SELECT cast(floor(value * 100.0 + 0.5) AS BIGINT) AS vc,
+         sum(CASE WHEN event_type = '{_CVM_A}' THEN 1 ELSE 0 END)::BIGINT AS ca,
+         sum(CASE WHEN event_type = '{_CVM_B}' THEN 1 ELSE 0 END)::BIGINT AS cb
+  FROM events WHERE event_type IN ('{_CVM_A}', '{_CVM_B}')
+  GROUP BY 1
+),
+pref AS (
+  SELECT ca + cb AS lj,
+         sum(ca) OVER (ORDER BY vc)::BIGINT AS cuma,
+         sum(cb) OVER (ORDER BY vc)::BIGINT AS cumb
+  FROM cells
+),
+tot AS (SELECT max(cuma)::BIGINT AS na, max(cumb)::BIGINT AS nb,
+               count(*)::BIGINT AS ncells FROM pref),
+stat AS (
+  SELECT na, nb, ncells,
+         cast(floor(1e6 * cast(sum(lj::HUGEINT
+                  * (nb * cuma - na * cumb)::HUGEINT
+                  * (nb * cuma - na * cumb)::HUGEINT) AS DOUBLE)
+              / (cast(na AS DOUBLE) * cast(nb AS DOUBLE)
+                 * pow(cast(na + nb AS DOUBLE), 2.0)) + 0.5) AS BIGINT) AS t_micro
+  FROM pref, tot
+  GROUP BY na, nb, ncells
+)
+SELECT na AS n_a, nb AS n_b, ncells AS n_cells, t_micro,
+       t_micro > 461000 AS drift_flag
+FROM stat
+"""
+
+
+# --------------------------------------------------------------------------
+# Page's trend test over the weekday x hour-bucket grid (X7 [EXT])
+# --------------------------------------------------------------------------
+
+
+def q_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] X7 Page's L test for a MONOTONE ordered trend in mean event
+    value across the {k} four-hour buckets of the day, using the {n}
+    weekdays as subjects — stronger than the shipped Friedman test when
+    the alternative is ordered ("does this metric climb through the
+    day?"). Cell means are micro-snapped; per-weekday ranks use the
+    (mean, bucket) total order so ties resolve identically on both
+    engines. L = sum_b b*R_b; z = (L - E[L]) / sd with exact integer
+    null moments. Output one row: l_stat, e_l, z_milli, trend_flag
+    (z > 1.645).""".format(k=_PAGE_K, n=_PAGE_N)
+    e = _t(spark, sf_dir, "events")
+    grid = (
+        e.select(
+            F.expr(f"(unix_micros(ts) div {_HOUR_US} div 24 + 4) % 7").alias("wd"),
+            F.expr(f"(unix_micros(ts) div {_HOUR_US}) % 24 div 4").alias("hb"),
+            F.col("value"),
+        )
+        .groupBy("wd", "hb")
+        .agg(
+            F.expr("cast(floor(1e6 * cast(sum(cast(value as decimal(18,6))) as double)"
+                " / count(1) + 0.5) as bigint)").alias(
+                "mv"
+            )
+        )
+    )
+    wrk = Window.partitionBy("wd").orderBy("mv", "hb")
+    ranked = grid.select("wd", "hb", F.row_number().over(wrk).alias("rk"))
+    return (
+        ranked.groupBy("hb")
+        .agg(F.sum("rk").cast("bigint").alias("rb"))
+        .agg(F.sum((F.col("hb") + 1) * F.col("rb")).cast("bigint").alias("l_stat"))
+        .select(
+            "l_stat",
+            F.lit(_PAGE_EL).cast("bigint").alias("e_l"),
+            F.expr(
+                f"cast(floor(1e3 * (cast(l_stat as double) - {_PAGE_EL}.0)"
+                f" / {_PAGE_SD!r} + 0.5) as bigint)"
+            ).alias("z_milli"),
+        )
+        .select(
+            "l_stat",
+            "e_l",
+            "z_milli",
+            (F.col("z_milli") > F.lit(1645)).alias("trend_flag"),
+        )
+    )
+
+
+_ORACLE_PAGE = f"""
+WITH grid AS (
+  SELECT (epoch_us(ts) // {_HOUR_US} // 24 + 4) % 7 AS wd,
+         (epoch_us(ts) // {_HOUR_US}) % 24 // 4 AS hb,
+         cast(floor(1e6 * cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE)
+              / count(*) + 0.5) AS BIGINT) AS mv
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT wd, hb, row_number() OVER (PARTITION BY wd ORDER BY mv, hb) AS rk
+  FROM grid
+),
+l AS (
+  SELECT sum((hb + 1) * rb)::BIGINT AS l_stat
+  FROM (SELECT hb, sum(rk)::BIGINT AS rb FROM ranked GROUP BY hb)
+)
+SELECT l_stat,
+       {_PAGE_EL}::BIGINT AS e_l,
+       cast(floor(1e3 * (cast(l_stat AS DOUBLE) - {_PAGE_EL}.0)
+            / {_PAGE_SD!r} + 0.5) AS BIGINT) AS z_milli,
+       cast(floor(1e3 * (cast(l_stat AS DOUBLE) - {_PAGE_EL}.0)
+            / {_PAGE_SD!r} + 0.5) AS BIGINT) > 1645 AS trend_flag
+FROM l
+"""
+
+
+# --------------------------------------------------------------------------
+# Expected Reciprocal Rank over per-source graded top-D lists (X6 [EXT])
+# --------------------------------------------------------------------------
+
+
+def q_err_graded_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] X6 Expected Reciprocal Rank of each source's top-{d} longest
+    documents under the cascade user model: ERR = sum_r (1/r) * R_r *
+    prod_i<r (1 - R_i), with graded relevance g = min(3, n_chars/300)
+    and R = (2^g - 1)/8 — the position-discounted eval that, unlike
+    NDCG, models a user who STOPS at the first satisfying result.
+    R values are dyadic rationals, and both engines fold the ordered
+    list sequentially (F.aggregate / list_reduce) with the same operand
+    order, so every term is the same correctly-rounded IEEE double.
+    Output per source: source, n_ranked, err_micro.""".format(d=_ERR_D)
+    d = _t(spark, sf_dir, "documents")
+    wsrc = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    top = (
+        d.select(
+            "source",
+            F.row_number().over(wsrc).alias("rnk"),
+            F.expr("least(3L, n_chars div 300)").alias("g"),
+        )
+        .filter(F.col("rnk") <= _ERR_D)
+        .select(
+            "source",
+            "rnk",
+            F.expr("(pow(2.0, cast(g as double)) - 1.0) / 8.0").alias("rprob"),
+        )
+    )
+    return (
+        top.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ranked"),
+            F.expr(
+                "aggregate("
+                "  array_sort(collect_list(struct(rnk, rprob))),"
+                "  struct(cast(0.0 as double) as err, cast(1.0 as double) as pr),"
+                "  (acc, x) -> struct("
+                "    acc.err + acc.pr * x.rprob / cast(x.rnk as double) as err,"
+                "    acc.pr * (1.0 - x.rprob) as pr),"
+                "  acc -> cast(floor(1e6 * acc.err + 0.5) as bigint))"
+            ).alias("err_micro"),
+        )
+        .select("source", "n_ranked", "err_micro")
+    )
+
+
+_ORACLE_ERR = f"""
+WITH top AS (
+  SELECT source, rnk,
+         (pow(2.0, cast(least(3, n_chars // 300) AS DOUBLE)) - 1.0) / 8.0 AS rp
+  FROM (
+    SELECT source, n_chars, doc_id,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY n_chars DESC, doc_id ASC) AS rnk
+    FROM documents
+  ) WHERE rnk <= {_ERR_D}
+),
+folded AS (
+  SELECT source, count(*)::BIGINT AS n_ranked,
+         list_reduce(
+           list_prepend(
+             {{'err': CAST(0.0 AS DOUBLE), 'pr': CAST(1.0 AS DOUBLE),
+               'rp': CAST(0.0 AS DOUBLE), 'rk': CAST(0.0 AS DOUBLE)}},
+             list(
+               {{'err': CAST(0.0 AS DOUBLE), 'pr': CAST(0.0 AS DOUBLE),
+                 'rp': rp, 'rk': cast(rnk AS DOUBLE)}} ORDER BY rnk)),
+           (a, b) -> {{'err': a.err + a.pr * b.rp / b.rk,
+                       'pr': a.pr * (1.0 - b.rp),
+                       'rp': CAST(0.0 AS DOUBLE),
+                       'rk': CAST(0.0 AS DOUBLE)}}) AS acc
+  FROM top GROUP BY source
+)
+SELECT source, n_ranked,
+       cast(floor(1e6 * acc.err + 0.5) AS BIGINT) AS err_micro
+FROM folded
+"""
+
+
+# --------------------------------------------------------------------------
+# Holt linear (double-exponential) forecast over the hourly spine (X7 [EXT])
+# --------------------------------------------------------------------------
+
+
+def q_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] X7 Holt's linear-trend exponential smoothing over the global
+    hourly mean-value series (alpha=1/2, beta=1/4, both dyadic so every
+    update is one correctly-rounded IEEE op in both engines):
+    l_t = a*y_t + (1-a)*(l + b); b_t = g*(l_t - l) + (1-g)*b, seeded
+    l = y_2, b = y_2 - y_1 and folded from y_3 — the classical "where is
+    this metric heading?" forecaster. The recurrence folds ONCE over the
+    calendar-bounded hourly spine (F.aggregate / list_reduce over the
+    sorted hourly array). Output one row: n_hours, level_micro,
+    trend_micro, fc1_micro (1h ahead), fc24_micro (24h ahead)."""
+    e = _t(spark, sf_dir, "events")
+    hourly = (
+        e.select(
+            F.expr(f"unix_micros(ts) div {_HOUR_US}").alias("hr"),
+            F.col("value"),
+        )
+        .groupBy("hr")
+        .agg(
+            F.expr("cast(floor(1e6 * cast(sum(cast(value as decimal(18,6))) as double)"
+                " / count(1) + 0.5) as bigint)").alias(
+                "ymic"
+            )
+        )
+    )
+    arr = hourly.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.expr("array_sort(collect_list(struct(hr, ymic)))").alias("ys"),
+    )
+    return arr.select(
+        "n_hours",
+        F.expr(
+            "aggregate("
+            "  slice(ys, 3, 100000000),"
+            "  struct("
+            "    cast(element_at(ys, 2).ymic as double) / 1e6 as lv,"
+            "    cast(element_at(ys, 2).ymic - element_at(ys, 1).ymic as double)"
+            "      / 1e6 as tr),"
+            "  (acc, x) -> struct("
+            "    0.5 * (cast(x.ymic as double) / 1e6) + 0.5 * (acc.lv + acc.tr) as lv,"
+            "    0.125 * ((cast(x.ymic as double) / 1e6) - acc.lv)"
+            "      + 0.875 * acc.tr as tr),"
+            "  acc -> struct("
+            "    cast(floor(1e6 * acc.lv + 0.5) as bigint) as lv,"
+            "    cast(floor(1e6 * acc.tr + 0.5) as bigint) as tr,"
+            "    cast(floor(1e6 * (acc.lv + acc.tr) + 0.5) as bigint) as f1,"
+            "    cast(floor(1e6 * (acc.lv + 24.0 * acc.tr) + 0.5) as bigint) as f24))"
+        ).alias("hw"),
+    ).select(
+        "n_hours",
+        F.col("hw.lv").alias("level_micro"),
+        F.col("hw.tr").alias("trend_micro"),
+        F.col("hw.f1").alias("fc1_micro"),
+        F.col("hw.f24").alias("fc24_micro"),
+    )
+
+
+# NOTE: the obvious DuckDB twin (list_reduce with a {{lv, tr}} struct
+# accumulator) is WRONG on DuckDB 1.0: from the second iteration the
+# engine updates the accumulator struct's fields in place in declaration
+# order, so the 'tr' expression sees the NEW 'lv' (probe: fold of
+# [(10,1),(12,0),(11,0)] returns tr=0.8828125 where the functional answer
+# is 0.921875). A recursive CTE walks the same recurrence with standard
+# row semantics; a Python reference fold confirms the Spark side.
+_ORACLE_HOLT = f"""
+WITH RECURSIVE hourly AS (
+  SELECT epoch_us(ts) // {_HOUR_US} AS hr,
+         cast(floor(1e6 * cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE)
+              / count(*) + 0.5) AS BIGINT) AS ymic
+  FROM events GROUP BY 1
+),
+arr AS (
+  SELECT count(*)::BIGINT AS n_hours,
+         list(ymic ORDER BY hr) AS ys
+  FROM hourly
+),
+fold AS (
+  SELECT 2 AS i,
+         cast(ys[2] AS DOUBLE) / 1e6 AS lv,
+         cast(ys[2] - ys[1] AS DOUBLE) / 1e6 AS tr
+  FROM arr
+  UNION ALL
+  SELECT i + 1,
+         0.5 * (cast(ys[i + 1] AS DOUBLE) / 1e6) + 0.5 * (lv + tr),
+         0.125 * ((cast(ys[i + 1] AS DOUBLE) / 1e6) - lv) + 0.875 * tr
+  FROM fold, arr WHERE i < n_hours
+)
+SELECT n_hours,
+       cast(floor(1e6 * lv + 0.5) AS BIGINT) AS level_micro,
+       cast(floor(1e6 * tr + 0.5) AS BIGINT) AS trend_micro,
+       cast(floor(1e6 * (lv + tr) + 0.5) AS BIGINT) AS fc1_micro,
+       cast(floor(1e6 * (lv + 24.0 * tr) + 0.5) AS BIGINT) AS fc24_micro
+FROM fold, arr WHERE i = n_hours
+"""
+
+
+REGISTRY_EXT111: dict[str, QuerySpec] = {
+    "cramer_von_mises_2samp": QuerySpec(
+        q_cramer_von_mises_2samp, _ORACLE_CVM, "X7 [EXT] two-sample Cramér-von Mises"
+    ),
+    "page_trend_test": QuerySpec(
+        q_page_trend_test, _ORACLE_PAGE, "X7 [EXT] Page's ordered trend test"
+    ),
+    "err_graded_ranking": QuerySpec(
+        q_err_graded_ranking, _ORACLE_ERR, "X6 [EXT] expected reciprocal rank"
+    ),
+    "holt_linear_forecast": QuerySpec(
+        q_holt_linear_forecast, _ORACLE_HOLT, "X7 [EXT] Holt linear forecast"
+    ),
+}

@@ -78,6 +78,9 @@ ALLOWED_GLOBAL = {
     "periodogram_fixed_periods",
     "pettitt_changepoint",
     "variance_ratio_random_walk",
+    # Wave 111: prefix-ECDF walk over centi VALUE CELLS (domain-bounded,
+    # same category as pr_auc_average_precision)
+    "cramer_von_mises_2samp",
 }
 
 STREAM_PREFIXES = ("streaming_", "stream_")

@@ -182,6 +182,39 @@ AUDITED = [
         "winnowing_candidate_pairs",
         "winnowing: stop-fingerprint skew cap before the equi self-join on fingerprint; never all-pairs",
     ),
+    # waves 95-110 heads (round-7, VERDICT r6 #3): every >1s idle query
+    (
+        "vocab_coverage_curve",
+        "coverage curve on the count-of-counts frame: Blelloch prefix over the frequency domain, no unpartitioned window",
+    ),
+    (
+        "textrank_keywords",
+        "TextRank: one edge materialization, per-round lineage truncation, vocabulary-bounded graph frame",
+    ),
+    (
+        "bradley_terry_strengths",
+        "Bradley-Terry: user-day-keyed bounded self-join reduces to the event-type-enum games matrix; MM iterations on that tiny frame",
+    ),
+    (
+        "fellegi_sunter_linkage",
+        "Fellegi-Sunter: candidate pairs only inside nation blocks; m/u and the decision table from 8 pattern rows",
+    ),
+    (
+        "adamic_adar_linkpred",
+        "AA/RA link prediction: rare-trigram df cap bounds the per-feature fan-out; equi self-join, never all-pairs",
+    ),
+    (
+        "greedy_max_coverage",
+        "greedy max-coverage: K driver rounds, each one distinct-count aggregate; cumulative walk over the K-step list only",
+    ),
+    (
+        "naive_bayes_lang_id",
+        "Naive Bayes lang-id: equi-join of tokens against observed conditional counts; micro-ln tables, no token x lang explode",
+    ),
+    (
+        "markov_removal_attribution",
+        "Markov attribution: one partitioned window + one aggregate on the corpus; value iteration on the states^2 single-row matrix",
+    ),
 ]
 
 MARKERS = (

@@ -1,0 +1,237 @@
+"""Measure the floor-inversion claim instead of arguing it (VERDICT r6 #2).
+
+RATIO.md's story for every >2x row is: Spark's wall is a fixed
+scheduling/codegen floor while the DuckDB oracle's milliseconds grow with
+the data, so the ratios invert at scale. This tool MEASURES that: it
+replicates the sf0.1 corpus x4 and x16 into a temp dir (key-offset
+replication, so joins stay linear — every key column is shifted by
+``replica * (max_key + 1)`` and fact/dim references stay consistent), runs
+the headline queries plus the worst floor-dominated offenders on BOTH
+engines at each scale, and writes the measured table to SCALING.md.
+
+Replication semantics:
+- nation/region are enumeration dims — single copy (TPC-H scaling rules).
+- All other tables replicate with consistent key offsets; row counts,
+  join outputs, grouped aggregates all scale exactly linearly.
+- ``documents.text`` is replicated verbatim, so CROSS-replica near-dup
+  structure is quadratic in the factor BY CONSTRUCTION — near-dup pair
+  queries (dedup_minhash_lsh etc.) are excluded here; their scale story
+  is the LSH band-bucket argument in RATIO.md, not corpus replication.
+- ``events.ts`` is replicated verbatim: per-hour/user volumes grow
+  linearly, calendar spines stay calendar-bounded — exactly the regime
+  the bounded-frame window adjudications assume.
+
+Spark runs under fastpath.small_input_posture(scaled_dir): at x1/x4 the
+small-input posture applies; at x16 (~280 MB) the corpus crosses the
+threshold and the CLUSTER posture (AQE on) self-selects — the printed
+table records which posture ran.
+
+Usage (idle host only — same contention caveat as bench.py):
+
+    python tools/scaling.py [--factors 1,4,16] [--sf-dir /root/testdata/sf0.1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import duckdb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# key columns to offset per table: {table: {column: keyspace_table}}
+# (keyspace_table names whose max key defines the offset stride, so
+# fact->dim references stay consistent across replicas)
+KEYED = {
+    "customer": {"c_custkey": "customer"},
+    "orders": {"o_orderkey": "orders", "o_custkey": "customer"},
+    "lineitem": {
+        "l_orderkey": "orders",
+        "l_partkey": "part",
+        "l_suppkey": "supplier",
+    },
+    "supplier": {"s_suppkey": "supplier"},
+    "part": {"p_partkey": "part"},
+    "events": {"event_id": "events", "user_id": "events_user"},
+    "documents": {"doc_id": "documents"},
+    "embeddings": {"vec_id": "embeddings"},
+}
+SINGLE_COPY = ("nation", "region")
+KEY_OF = {
+    "customer": "c_custkey",
+    "orders": "o_orderkey",
+    "part": "p_partkey",
+    "supplier": "s_suppkey",
+    "events": "event_id",
+    "events_user": "user_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+# headliners (minus near-dup pair queries, see module docstring) + the
+# worst floor-dominated ratios from RATIO.md
+QUERIES = [
+    "flagship_silver_shape",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_star_join",
+    "text_tf_idf",
+    "sessionization_gap30m",
+    "similarity_topk_cosine",
+    "iv_wald_estimator",
+    "woe_iv_binning",
+    "acf_lags",
+    "t_closeness_emd",
+    "kmv_set_ops",
+    "join_cross",
+    "case_bucket_totality",
+    "filter_eq",
+    "union_all",
+    "window_lag_lead",
+    "agg_stats",
+]
+
+
+def make_scaled(sf_dir: str, factor: int, out_dir: str) -> None:
+    con = duckdb.connect()
+    strides = {}
+    for ks, key in KEY_OF.items():
+        src = "events" if ks == "events_user" else ks
+        strides[ks] = (
+            con.execute(
+                f"SELECT max({key}) + 1 FROM read_parquet('{sf_dir}/{src}.parquet')"
+            ).fetchone()[0]
+            or 1
+        )
+    for t in SINGLE_COPY:
+        shutil.copy(f"{sf_dir}/{t}.parquet", f"{out_dir}/{t}.parquet")
+    for t, keycols in KEYED.items():
+        cols = [
+            r[0]
+            for r in con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            ).fetchall()
+        ]
+        sel = ", ".join(
+            f"{c} + r.i * {strides[keycols[c]]} AS {c}" if c in keycols else c
+            for c in cols
+        )
+        con.execute(
+            f"COPY (SELECT {sel} FROM read_parquet('{sf_dir}/{t}.parquet'), "
+            f"range({factor}) r(i)) TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)"
+        )
+
+
+def duck_time(sf_dir: str, sql: str, runs: int = 2) -> float:
+    from tools.parity import duck_con
+
+    con = duck_con(sf_dir)
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()
+        best = min(best, time.perf_counter() - t0)
+    con.close()
+    return best
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factors", default="1,4,16")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--queries", default=None, help="comma list override")
+    args = ap.parse_args()
+    factors = [int(f) for f in args.factors.split(",")]
+    qnames = args.queries.split(",") if args.queries else QUERIES
+
+    from etl_poor_main_pipeline_spark.fastpath import corpus_bytes, small_input_posture
+    from etl_poor_main_pipeline_spark.registry import oracle_sql, queries
+    from etl_poor_main_pipeline_spark.session import get_spark
+
+    qs, oracles = queries(), oracle_sql()
+    spark = get_spark(app_name="scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    root = tempfile.mkdtemp(prefix="scaling_")
+    dirs: dict[int, str] = {}
+    for f in factors:
+        if f == 1:
+            dirs[f] = args.sf_dir
+            continue
+        d = os.path.join(root, f"x{f}")
+        os.makedirs(d)
+        print(f"replicating x{f} -> {d}", file=sys.stderr)
+        make_scaled(args.sf_dir, f, d)
+        dirs[f] = d
+
+    # warm the JVM/codegen once so x-scale walls measure work, not startup
+    qs["flagship_silver_shape"](spark, args.sf_dir).count()
+
+    results: dict[str, dict] = {}
+    postures: dict[int, str] = {}
+    for f in factors:
+        d = dirs[f]
+        mb = corpus_bytes(d) / 1e6
+        with small_input_posture(spark, d) as small:
+            postures[f] = "small" if small else "cluster"
+            print(f"--- x{f} ({mb:.0f} MB, {postures[f]} posture)", file=sys.stderr)
+            for name in qnames:
+                if name not in qs or name not in oracles:
+                    continue
+                t0 = time.perf_counter()
+                qs[name](spark, d).count()
+                s1 = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                qs[name](spark, d).count()
+                s_wall = min(s1, time.perf_counter() - t0)
+                d_wall = duck_time(d, oracles[name])
+                results.setdefault(name, {})[f] = {
+                    "spark": round(s_wall, 3),
+                    "duckdb": round(d_wall, 3),
+                }
+                print(
+                    f"{name} x{f}: spark {s_wall:.3f}s duckdb {d_wall:.3f}s",
+                    file=sys.stderr,
+                )
+
+    lines = [
+        "# SCALING — measured Spark-floor vs DuckDB-linear (tools/scaling.py)",
+        "",
+        f"Corpus: {args.sf_dir} key-offset-replicated x{factors} "
+        f"(postures: {', '.join(f'x{f}={postures[f]}' for f in factors)}; "
+        "see tools/scaling.py docstring for replication semantics).",
+        "Walls are min-of-2, idle host, count()-timed Spark vs fetchall DuckDB.",
+        "",
+        "| query | "
+        + " | ".join(f"x{f} spark | x{f} duck | ratio" for f in factors)
+        + " | crossover |",
+        "|---|" + "---|" * (3 * len(factors) + 1),
+    ]
+    for name, row in results.items():
+        cells = []
+        crossed = "no"
+        for f in factors:
+            s, dk = row[f]["spark"], row[f]["duckdb"]
+            r = s / dk if dk > 0 else float("inf")
+            cells.append(f"{s:.2f}s | {dk:.2f}s | {r:.1f}x")
+            if r <= 1.0:
+                crossed = f"<=x{f}"
+        lines.append(f"| {name} | " + " | ".join(cells) + f" | {crossed} |")
+    out_md = os.path.join(REPO, "SCALING.md")
+    with open(out_md, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    with open(os.path.join(REPO, "SCALING.json"), "w") as fh:
+        json.dump({"factors": factors, "postures": postures, "results": results}, fh)
+    print(f"wrote {out_md}")
+    shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

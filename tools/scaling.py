@@ -201,34 +201,55 @@ def main() -> None:
                     file=sys.stderr,
                 )
 
+    # merge with any prior runs (so x64 extension runs don't clobber the
+    # x1/x4/x16 table), then regenerate the md from the merged store
+    json_path = os.path.join(REPO, "SCALING.json")
+    store = {"factors": [], "postures": {}, "results": {}}
+    if os.path.exists(json_path):
+        with open(json_path) as fh:
+            store = json.load(fh)
+    all_factors = sorted(set(int(f) for f in store["factors"]) | set(factors))
+    store["factors"] = all_factors
+    store["postures"].update({str(f): p for f, p in postures.items()})
+    for name, row in results.items():
+        dst = store["results"].setdefault(name, {})
+        dst.update({str(f): v for f, v in row.items()})
+    with open(json_path, "w") as fh:
+        json.dump(store, fh)
+
     lines = [
         "# SCALING — measured Spark-floor vs DuckDB-linear (tools/scaling.py)",
         "",
-        f"Corpus: {args.sf_dir} key-offset-replicated x{factors} "
-        f"(postures: {', '.join(f'x{f}={postures[f]}' for f in factors)}; "
-        "see tools/scaling.py docstring for replication semantics).",
+        f"Corpus: {args.sf_dir} key-offset-replicated x{all_factors} "
+        "(postures: "
+        + ", ".join(
+            f"x{f}={store['postures'].get(str(f), '?')}" for f in all_factors
+        )
+        + "; see tools/scaling.py docstring for replication semantics).",
         "Walls are min-of-2, idle host, count()-timed Spark vs fetchall DuckDB.",
         "",
         "| query | "
-        + " | ".join(f"x{f} spark | x{f} duck | ratio" for f in factors)
+        + " | ".join(f"x{f} spark | x{f} duck | ratio" for f in all_factors)
         + " | crossover |",
-        "|---|" + "---|" * (3 * len(factors) + 1),
+        "|---|" + "---|" * (3 * len(all_factors) + 1),
     ]
-    for name, row in results.items():
+    for name, row in store["results"].items():
         cells = []
         crossed = "no"
-        for f in factors:
-            s, dk = row[f]["spark"], row[f]["duckdb"]
+        for f in all_factors:
+            v = row.get(str(f))
+            if v is None:
+                cells.append("- | - | -")
+                continue
+            s, dk = v["spark"], v["duckdb"]
             r = s / dk if dk > 0 else float("inf")
             cells.append(f"{s:.2f}s | {dk:.2f}s | {r:.1f}x")
-            if r <= 1.0:
+            if r <= 1.0 and crossed == "no":
                 crossed = f"<=x{f}"
         lines.append(f"| {name} | " + " | ".join(cells) + f" | {crossed} |")
     out_md = os.path.join(REPO, "SCALING.md")
     with open(out_md, "w") as fh:
         fh.write("\n".join(lines) + "\n")
-    with open(os.path.join(REPO, "SCALING.json"), "w") as fh:
-        json.dump({"factors": factors, "postures": postures, "results": results}, fh)
     print(f"wrote {out_md}")
     shutil.rmtree(root, ignore_errors=True)
 

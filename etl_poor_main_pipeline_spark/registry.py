@@ -1672,6 +1672,9 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext109 import REGISTRY_EXT109
     from .registry_ext111 import REGISTRY_EXT111
     from .registry_ext112 import REGISTRY_EXT112
+    from .registry_ext113 import REGISTRY_EXT113
+    from .registry_ext114 import REGISTRY_EXT114
+    from .registry_ext115 import REGISTRY_EXT115
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1785,6 +1788,9 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT109)
     merged.update(REGISTRY_EXT111)
     merged.update(REGISTRY_EXT112)
+    merged.update(REGISTRY_EXT113)
+    merged.update(REGISTRY_EXT114)
+    merged.update(REGISTRY_EXT115)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

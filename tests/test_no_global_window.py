@@ -81,6 +81,12 @@ ALLOWED_GLOBAL = {
     # Wave 111: prefix-ECDF walk over centi VALUE CELLS (domain-bounded,
     # same category as pr_auc_average_precision)
     "cramer_von_mises_2samp",
+    # Wave 115: cumulative walk over (n_chars) VALUE CELLS (domain-bounded)
+    "palma_ratio_lengths",
+    # Wave 115: cumulative/lag windows over the calendar-bounded hourly
+    # spine (same category as pettitt_changepoint)
+    "page_hinkley_drift",
+    "dickey_fuller_unit_root",
 }
 
 STREAM_PREFIXES = ("streaming_", "stream_")

@@ -1675,6 +1675,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext113 import REGISTRY_EXT113
     from .registry_ext114 import REGISTRY_EXT114
     from .registry_ext115 import REGISTRY_EXT115
+    from .registry_ext116 import REGISTRY_EXT116
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1791,6 +1792,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT113)
     merged.update(REGISTRY_EXT114)
     merged.update(REGISTRY_EXT115)
+    merged.update(REGISTRY_EXT116)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

@@ -87,6 +87,11 @@ ALLOWED_GLOBAL = {
     # spine (same category as pettitt_changepoint)
     "page_hinkley_drift",
     "dickey_fuller_unit_root",
+    # Wave 116: lag window over the hourly spine / prefix walks over
+    # centi VALUE CELLS (both domain-bounded, sanctioned categories)
+    "granger_causality_hourly",
+    "kuiper_two_sample",
+    "mood_median_test",
 }
 
 STREAM_PREFIXES = ("streaming_", "stream_")

@@ -1676,6 +1676,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext114 import REGISTRY_EXT114
     from .registry_ext115 import REGISTRY_EXT115
     from .registry_ext116 import REGISTRY_EXT116
+    from .registry_ext117 import REGISTRY_EXT117
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1793,6 +1794,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT114)
     merged.update(REGISTRY_EXT115)
     merged.update(REGISTRY_EXT116)
+    merged.update(REGISTRY_EXT117)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

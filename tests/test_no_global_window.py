@@ -92,6 +92,8 @@ ALLOWED_GLOBAL = {
     "granger_causality_hourly",
     "kuiper_two_sample",
     "mood_median_test",
+    # Wave 117: variance-weighted prefix walk over centi VALUE CELLS
+    "anderson_darling_2samp",
 }
 
 STREAM_PREFIXES = ("streaming_", "stream_")

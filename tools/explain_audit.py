@@ -215,6 +215,31 @@ AUDITED = [
         "markov_removal_attribution",
         "Markov attribution: one partitioned window + one aggregate on the corpus; value iteration on the states^2 single-row matrix",
     ),
+    # waves 111-117 heads (>1s idle at sf0.1)
+    (
+        "triangle_count_clustering",
+        "oriented triangle census: degree-ordered orientation bounds wedge fan-out by sqrt(2m); equi-joins only, inverts the oracle (0.4x)",
+    ),
+    (
+        "burrows_delta_sources",
+        "Burrows delta: one token reduce, 50x20 MFW grid, pair join on the grid — never corpus-pairs",
+    ),
+    (
+        "cramer_von_mises_2samp",
+        "CvM: map-side centi value cells, one sanctioned bounded prefix walk, HUGEINT cross-terms",
+    ),
+    (
+        "theil_index_decomposition",
+        "Theil: (source x n_chars) cells, source-partitioned window, 1-row totals broadcast — all bounded frames",
+    ),
+    (
+        "collocation_llr_bigrams",
+        "Dunning G2: tail-zip bigrams (no positional self-join), margin equi-joins, TakeOrdered top-K",
+    ),
+    (
+        "dau_wau_stickiness",
+        "DAU/WAU: corpus-bounded (user, day) distinct frame x literal 0..6 offset grid — no window, no self-join",
+    ),
 ]
 
 MARKERS = (

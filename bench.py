@@ -94,7 +94,13 @@ def main() -> None:
         print(f"bench: python-sink warm-up skipped: {exc}", file=sys.stderr)
 
     MIN2_THRESHOLD_SEC = 0.3  # re-run + take min above this
-    SETTLE_THRESHOLD_SEC = 2.0  # clearCache + GC after heavier queries
+    # clearCache + GC after queries above this. Kept at 2.0: a round-8
+    # experiment at 1.0 made the ledger WORSE (339s vs 291s total) — each
+    # explicit full GC on a 128 GiB heap stalls longer than the debris it
+    # clears. The ~12 mid-run small queries reading 2-3x their
+    # back-to-back walls are marathon noise, documented by the committed
+    # A/B (AB_FASTPATH.json), not plan regressions.
+    SETTLE_THRESHOLD_SEC = 2.0
 
     def settle() -> None:
         try:
@@ -140,20 +146,37 @@ def main() -> None:
 
     # Size-derived execution posture: on a corpus this small, AQE's
     # per-stage driver round-trips and a 32-wide shuffle fan-out are pure
-    # floor (measured -35% on the headline subset); at cluster scale the
-    # same call is a no-op and AQE stays on. See fastpath.py.
-    from etl_poor_main_pipeline_spark.fastpath import small_input_posture
+    # floor; the committed 499-query idle A/B (tools/ab_fastpath.py ->
+    # AB_FASTPATH.json, RATIO.md "fastpath A/B") shows the posture wins or
+    # ties on 497 queries and hurts exactly two iterative tiny-join loops
+    # (bradley_terry 1.2s -> 4.8s) — those keep AQE via the MEASURED
+    # opt-out list AQE_KEEP_QUERIES (two-way-tested against the committed
+    # A/B). At cluster scale small_input_posture is a no-op and AQE stays
+    # on for everything. See fastpath.py.
+    from etl_poor_main_pipeline_spark.fastpath import (
+        SMALL_INPUT_THRESHOLD_BYTES,
+        AQE_KEEP_QUERIES,
+        corpus_bytes,
+        small_input_posture,
+    )
 
-    posture = small_input_posture(spark, sf_dir)
-    fastpath_on = posture.__enter__()
+    fastpath_on = 0 < corpus_bytes(sf_dir) < SMALL_INPUT_THRESHOLD_BYTES
+
+    def timed_run(name: str, fn) -> tuple[float, int]:
+        """One build+execute of a query, postured unless the committed A/B
+        measured this name slower under the posture."""
+        t0 = time.perf_counter()
+        if fastpath_on and name not in AQE_KEEP_QUERIES:
+            with small_input_posture(spark, sf_dir):
+                n = fn(spark, sf_dir).count()
+        else:
+            n = fn(spark, sf_dir).count()
+        return time.perf_counter() - t0, n
 
     timings: dict[str, float] = {}
     for name, fn in ordered:
         try:
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            n = df.count()
-            elapsed = time.perf_counter() - t0
+            elapsed, n = timed_run(name, fn)
         except Exception as exc:  # a failing query gets a sentinel, not a crash
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
             timings[name] = -1.0
@@ -162,9 +185,8 @@ def main() -> None:
             # re-run in its OWN guard: a throwing re-run (e.g. transient
             # streaming drain) must not discard the first run's success.
             try:
-                t1 = time.perf_counter()
-                fn(spark, sf_dir).count()
-                elapsed = min(elapsed, time.perf_counter() - t1)
+                e2, _ = timed_run(name, fn)
+                elapsed = min(elapsed, e2)
             except Exception as exc:
                 print(
                     f"bench: {name} re-run failed ({exc}); keeping first-run time",
@@ -174,8 +196,6 @@ def main() -> None:
         print(f"bench: {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
         if elapsed > SETTLE_THRESHOLD_SEC:
             settle()
-
-    posture.__exit__(None, None, None)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(t for t in timings.values() if t >= 0), 3)
@@ -206,7 +226,10 @@ def main() -> None:
                 "meta": (
                     "per-query wall (plan+execute+count) after JVM warm-up; "
                     "size-derived small-input posture (AQE off + right-sized "
-                    "shuffle fan-out below 256MB corpus; no-op at scale); "
+                    "shuffle fan-out below 256MB corpus; no-op at scale), "
+                    "skipped for the queries the committed full-registry "
+                    "A/B measured slower under it (AQE_KEEP_QUERIES; "
+                    "AB_FASTPATH.json + RATIO.md fastpath A/B); "
                     "heavy queries first; queries >0.3s re-run once, MIN "
                     "reported (re-run failure keeps first-run time); "
                     "cache-clear+GC settle after >2s queries; "

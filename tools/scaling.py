@@ -151,7 +151,11 @@ def main() -> None:
     factors = [int(f) for f in args.factors.split(",")]
     qnames = args.queries.split(",") if args.queries else QUERIES
 
-    from etl_poor_main_pipeline_spark.fastpath import corpus_bytes, small_input_posture
+    from etl_poor_main_pipeline_spark.fastpath import (
+        AQE_KEEP_QUERIES,
+        corpus_bytes,
+        small_input_posture,
+    )
     from etl_poor_main_pipeline_spark.registry import oracle_sql, queries
     from etl_poor_main_pipeline_spark.session import get_spark
 
@@ -181,25 +185,32 @@ def main() -> None:
         mb = corpus_bytes(d) / 1e6
         with small_input_posture(spark, d) as small:
             postures[f] = "small" if small else "cluster"
-            print(f"--- x{f} ({mb:.0f} MB, {postures[f]} posture)", file=sys.stderr)
-            for name in qnames:
-                if name not in qs or name not in oracles:
-                    continue
+        print(f"--- x{f} ({mb:.0f} MB, {postures[f]} posture)", file=sys.stderr)
+        for name in qnames:
+            if name not in qs or name not in oracles:
+                continue
+
+            def _run() -> float:
+                # same policy as bench.py: posture unless the committed
+                # A/B measured this name slower under it
                 t0 = time.perf_counter()
-                qs[name](spark, d).count()
-                s1 = time.perf_counter() - t0
-                t0 = time.perf_counter()
-                qs[name](spark, d).count()
-                s_wall = min(s1, time.perf_counter() - t0)
-                d_wall = duck_time(d, oracles[name])
-                results.setdefault(name, {})[f] = {
-                    "spark": round(s_wall, 3),
-                    "duckdb": round(d_wall, 3),
-                }
-                print(
-                    f"{name} x{f}: spark {s_wall:.3f}s duckdb {d_wall:.3f}s",
-                    file=sys.stderr,
-                )
+                if postures[f] == "small" and name not in AQE_KEEP_QUERIES:
+                    with small_input_posture(spark, d):
+                        qs[name](spark, d).count()
+                else:
+                    qs[name](spark, d).count()
+                return time.perf_counter() - t0
+
+            s_wall = min(_run(), _run())
+            d_wall = duck_time(d, oracles[name])
+            results.setdefault(name, {})[f] = {
+                "spark": round(s_wall, 3),
+                "duckdb": round(d_wall, 3),
+            }
+            print(
+                f"{name} x{f}: spark {s_wall:.3f}s duckdb {d_wall:.3f}s",
+                file=sys.stderr,
+            )
 
     # merge with any prior runs (so x64 extension runs don't clobber the
     # x1/x4/x16 table), then regenerate the md from the merged store
@@ -247,6 +258,23 @@ def main() -> None:
             if r <= 1.0 and crossed == "no":
                 crossed = f"<=x{f}"
         lines.append(f"| {name} | " + " | ".join(cells) + f" | {crossed} |")
+    lines += [
+        "",
+        "ANN-tier caveats (round-8 task: measure the designed answers to",
+        "the exact brute-force counterexample):",
+        "- `similarity_ivf_topk` vs `similarity_topk_cosine`: the IVF",
+        "  variant probes centroid buckets, so its per-row work FALLS as",
+        "  the corpus grows while exact cosine stays linear — compare",
+        "  their spark columns directly (same query vectors, constant",
+        "  query count under key-offset replication).",
+        "- `dedup_minhash_lsh`: documents.text replicates VERBATIM, so",
+        "  every replica of a template is a true near-dup of every other",
+        "  replica — the PAIR workload itself grows ~quadratically in the",
+        "  factor for both engines. The ratio column still compares like",
+        "  for like (the DuckDB oracle sees the same inflated workload),",
+        "  but the absolute walls measure that inflated pair count, not",
+        "  linear corpus growth.",
+    ]
     out_md = os.path.join(REPO, "SCALING.md")
     with open(out_md, "w") as fh:
         fh.write("\n".join(lines) + "\n")

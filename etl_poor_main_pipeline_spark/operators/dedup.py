@@ -266,8 +266,11 @@ def minhash_verify_candidates(
     inter = F.size(F.array_intersect(F.col("_tok_a"), F.col("_tok_b")))
     union = F.col("_na") + F.col("_nb") - inter
     jac = F.round(inter.cast("double") / union.cast("double"), 6)
-    # token sets are per-document (tiny next to the candidate pair list):
-    # broadcast them so verification is a map-side join over candidates.
+    # token sets are per-document, so this side GROWS with the corpus: the
+    # broadcast pin is gated on Catalyst's own size estimate
+    # (fastpath.broadcast_if_plan_small) — pinned while the projected doc
+    # frame fits an executor (making verification a map-side join over
+    # candidates), a plain shuffled equi-join on doc id at 100 TB.
     # The size-ratio filter (J >= t implies min/max set size >= t) runs
     # BEFORE the intersect — neutral on this size-uniform template corpus
     # (measured 4.22s vs 4.34s at sf0.1) but prunes real work on corpora
@@ -275,9 +278,11 @@ def minhash_verify_candidates(
     # dropDuplicates handles a non-distinct candidate stream (see
     # minhash_lsh_candidates(distinct=False)) after the >= threshold
     # filter has shrunk it.
+    from ..fastpath import broadcast_if_plan_small
+
     return (
-        spread(candidates).join(F.broadcast(ta), "id_a")
-        .join(F.broadcast(tb), "id_b")
+        spread(candidates).join(broadcast_if_plan_small(ta), "id_a")
+        .join(broadcast_if_plan_small(tb), "id_b")
         .filter(F.least("_na", "_nb") >= t * F.greatest("_na", "_nb"))
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= t)

@@ -198,6 +198,175 @@ def unbounded_nested_loop_joins(df: DataFrame) -> list[str]:
     return offenders
 
 
+#: Corpus tables that GROW with the corpus: a pinned broadcast of one of
+#: these (or of a frame derived from one without a cardinality bound in
+#: between) is a driver/executor OOM at 100 TB, because Spark honors
+#: explicit broadcast hints regardless of size and AQE cannot demote them.
+#: nation/region are true enums (25/5 rows at any scale) and are safe.
+_GROWING_TABLE_COLUMNS = {
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "part": ("p_partkey",),
+    "orders": ("o_orderkey",),
+    "lineitem": ("l_orderkey", "l_partkey"),
+    "events": ("event_id", "user_id"),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+
+#: Logical nodes that cap a subtree's output independent of corpus size.
+#: Aggregate/Deduplicate bound output to the grouping-key DOMAIN (keyless:
+#: <=1 row) — whether a key domain itself grows with the corpus (user keys
+#: vs event-type enums) is a semantic question the plan cannot answer; it
+#: is adjudicated in query docstrings/PLANS.md. The guard's target is the
+#: round-7 defect class: a hint over a RAW (un-aggregated, un-limited)
+#: growing scan.
+_LOGICAL_BOUNDING = (
+    "Aggregate",
+    "Deduplicate",
+    "GlobalLimit",
+    "LocalLimit",
+    "LocalRelation",
+    "OneRowRelation",
+)
+
+
+def _logical_outline_lines(plan_str: str) -> list[tuple[int, str, str]]:
+    """Pre-order ``[(indent, head, line), ...]`` of a logical-plan
+    ``toString()`` tree (one node per line, children strictly deeper)."""
+    import re
+
+    out: list[tuple[int, str, str]] = []
+    for ln in plan_str.splitlines():
+        m = re.match(r"^([ :+\-]*)([A-Za-z][A-Za-z0-9]*)(.*)$", ln)
+        if m:
+            out.append((len(m.group(1)), m.group(2), ln))
+    return out
+
+
+def _bracket_groups(s: str) -> list[str]:
+    """Top-level ``[...]`` groups of a node's argument string."""
+    groups, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = []
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(cur))
+                continue
+        if depth >= 1:
+            cur.append(ch)
+    return groups
+
+
+def _node_bounds(head: str, line: str) -> bool:
+    import re
+
+    if head in _LOGICAL_BOUNDING:
+        return True
+    if head == "Range":
+        m = re.search(r"Range \((\-?\d+), (\-?\d+)", line)
+        if m and int(m.group(2)) - int(m.group(1)) <= _RANGE_BOUND:
+            return True
+    return False
+
+
+def _child_spans(
+    nodes: list[tuple[int, str, str]], i: int
+) -> list[tuple[int, int]]:
+    """Index spans ``[(start, end), ...]`` of node i's direct children."""
+    indent = nodes[i][0]
+    spans: list[tuple[int, int]] = []
+    j = i + 1
+    while j < len(nodes) and nodes[j][0] > indent:
+        cind = nodes[j][0]
+        k = j + 1
+        while k < len(nodes) and nodes[k][0] > cind:
+            k += 1
+        spans.append((j, k))
+        j = k
+    return spans
+
+
+def _unbounded_witnesses(
+    nodes: list[tuple[int, str, str]], i: int
+) -> list[str]:
+    """Leaf descriptions proving node i's output can grow with the corpus;
+    empty list = bounded. Bottom-up semantics:
+      * a bounding node (aggregate, limit, literal, small range) caps its
+        whole subtree;
+      * a left-semi/anti join is capped iff its LEFT input is;
+      * any other join is capped if EITHER input is (the fixed-holdout
+        idiom: an inner equi-join against a LIMIT-ed key set outputs at
+        most holdout-many matches per key);
+      * everything else (project/filter/window/union/...) is capped iff
+        ALL inputs are.
+    Witness leaves: growing corpus Relations (by column-name identity) and
+    LogicalRDD checkpoint barriers (cardinality unknowable from the plan —
+    callers may sanction those per query with a documented rationale)."""
+    indent, head, line = nodes[i]
+    if _node_bounds(head, line):
+        return []
+    spans = _child_spans(nodes, i)
+    if not spans:  # leaf
+        if head == "Relation":
+            for table, cols in _GROWING_TABLE_COLUMNS.items():
+                if any(f"{c}#" in line for c in cols):
+                    return [f"unbounded {table} scan: {line.strip()[:120]}"]
+            return []  # nation/region enum (or unrecognized literal)
+        if head == "LogicalRDD":
+            return [
+                "checkpoint barrier (LogicalRDD), cardinality unknowable: "
+                + line.strip()[:120]
+            ]
+        return []
+    child_ws = [_unbounded_witnesses(nodes, s) for s, _ in spans]
+    if head == "Join":
+        if "LeftSemi" in line or "LeftAnti" in line:
+            return child_ws[0]
+        if any(not w for w in child_ws):
+            return []
+        return [w for ws in child_ws for w in ws]
+    return [w for ws in child_ws for w in ws]
+
+
+def unbounded_broadcast_hints(df: DataFrame) -> list[str]:
+    """Broadcast-hint nodes in the ANALYZED logical plan whose hinted side
+    can GROW with the corpus — no aggregate, limit, literal, small range,
+    or bounded-join cap between the hint and a growing-table scan. This is
+    the round-7 defect class: ``F.broadcast`` pinned on a side that scales
+    with the corpus (filtered orders, customer projections, supplier
+    keysets). Spark honors the hint regardless of size, so at 100 TB each
+    one is an OOM the optimizer cannot demote (and the static-size gate in
+    ``fastpath.broadcast_if_small`` exists precisely to drop such pins at
+    scale — audit with the gate forced shut to see the at-scale plan).
+
+    Aggregates bound their subtree to the grouping-key domain; whether a
+    KEY DOMAIN itself grows (user keys vs event-type enums) is semantic
+    and adjudicated in docstrings/PLANS.md, not here. LogicalRDD
+    (checkpoint) leaves are reported as witnesses because the truncated
+    plan hides what was materialized; per-query sanctions with rationale
+    live in tests/test_no_unbounded_broadcast.py.
+
+    Table identity is recovered from each Relation leaf's column names
+    (the analyzed tree prints no file path); nation/region enum leaves
+    are always bounded.
+    """
+    plan = df._jdf.queryExecution().analyzed().toString()
+    nodes = _logical_outline_lines(plan)
+    offenders: list[str] = []
+    for i, (indent, head, line) in enumerate(nodes):
+        if head != "ResolvedHint" or "strategy=broadcast" not in line:
+            continue
+        for w in _unbounded_witnesses(nodes, i):
+            offenders.append(f"broadcast hint over {w}")
+    return offenders
+
+
 def codegen_stage_count(df: DataFrame) -> int:
     plan = explain_str(df)
     ids = {line.split("(")[1].split(")")[0] for line in plan.splitlines() if "WholeStageCodegen" in line and "(" in line}

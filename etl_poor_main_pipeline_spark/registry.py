@@ -501,13 +501,19 @@ WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shipping priority: 3-way join + agg + deterministic top-10.
 
-    Shape: the fact table (lineitem) STREAMS through one broadcast of the
-    pre-joined, projection-pruned dim side (BUILDING customers ⋈ in-window
-    orders -> 3 columns). At 100 TB the filtered order side is the only
-    shuffle risk; projecting to (o_orderkey, o_orderdate, o_orderpriority)
-    before the broadcast keeps it minimal, and the single groupBy shuffle
-    carries pre-aggregated (map-side partial) per-order partials only.
+    Shape: the fact table (lineitem) streams through the pre-joined,
+    projection-pruned dim side (BUILDING customers ⋈ in-window orders ->
+    3 columns). The customer and order sides GROW with the corpus, so their
+    broadcast hints are size-GATED (fastpath.broadcast_if_small): pinned
+    while the source tables' on-disk bytes say the dim comfortably fits
+    (the whole local bench corpus), dropped at scale so the static planner
+    / AQE picks the strategy from real statistics — at 100 TB the filtered
+    order side shuffles on o_orderkey/l_orderkey instead of OOM-ing a
+    pinned broadcast. The single groupBy shuffle carries map-side partial
+    per-order aggregates only either way.
     """
+    from .fastpath import broadcast_if_small
+
     c = (
         _t(spark, sf_dir, "customer")
         .filter(F.col("c_mktsegment") == "BUILDING")
@@ -523,12 +529,15 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
         .select("l_orderkey", "l_extendedprice", "l_discount")
     )
-    dim = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
-        "o_orderkey", "o_orderdate", "o_orderpriority"
-    )
+    dim = o.join(
+        broadcast_if_small(c, sf_dir, ["customer"]), o.o_custkey == c.c_custkey
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(dim), li.l_orderkey == dim.o_orderkey)
+        li.join(
+            broadcast_if_small(dim, sf_dir, ["orders", "customer"]),
+            li.l_orderkey == dim.o_orderkey,
+        )
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(_dsum(revenue, "revenue"))
         .select(
@@ -564,13 +573,17 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     region/date window (fixture has all 5 regions; the region join is a
     semantic no-op filter kept for parity with the 6-table reference SQL).
 
-    Shape: nation/region fold into the customer dim first (tiny ⋈ tiny),
-    orders pre-resolves to (o_orderkey, n_name) against that broadcast, and
-    lineitem — the only table that is ever big — STREAMS through a single
-    broadcast of that 2-column order side plus a broadcast key-only
-    supplier probe. The groupBy key is n_name (enum-bounded), so the one
+    Shape: nation/region fold into the customer dim first — those two are
+    the ONLY unconditionally-pinned broadcasts (true enums: 25 nations /
+    5 regions at any corpus size). The customer, order, and supplier sides
+    all grow with the corpus, so their hints are size-GATED
+    (fastpath.broadcast_if_small): pinned while the source tables' on-disk
+    bytes fit an executor (the whole local bench corpus), dropped at scale
+    where the static planner / AQE picks broadcast vs shuffle from real
+    statistics. The groupBy key is n_name (enum-bounded), so the final
     shuffle carries ≤ |nations| map-side partials per task at any scale.
     """
+    from .fastpath import broadcast_if_small
     r = _t(spark, sf_dir, "region").select("r_regionkey")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -591,13 +604,20 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("c_custkey", "n_name")
     )
-    odim = o.join(F.broadcast(cdim), o.o_custkey == cdim.c_custkey).select(
-        "o_orderkey", "n_name"
-    )
+    odim = o.join(
+        broadcast_if_small(cdim, sf_dir, ["customer"]),
+        o.o_custkey == cdim.c_custkey,
+    ).select("o_orderkey", "n_name")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(odim), li.l_orderkey == odim.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(
+            broadcast_if_small(odim, sf_dir, ["orders", "customer"]),
+            li.l_orderkey == odim.o_orderkey,
+        )
+        .join(
+            broadcast_if_small(s, sf_dir, ["supplier"]),
+            li.l_suppkey == s.s_suppkey,
+        )
         .groupBy(F.col("n_name").alias("nation"))
         .agg(_dsum(revenue, "revenue"))
     )
@@ -640,13 +660,15 @@ GROUP BY o_orderstatus
 
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-equi range join: parts priced within a band of each supplier's
-    (scaled) account balance — banded to stay sub-quadratic. Spark plans
-    a broadcast nested-loop; banding keys would convert it to equi at scale."""
+    (scaled) account balance — banded to stay sub-quadratic. No pinned
+    hint: BOTH sides grow with the corpus, so the planner picks which to
+    broadcast from its stats (locally: part) — at scale banding keys
+    would convert it to an equi join outright."""
     s = _t(spark, sf_dir, "supplier")
     p = _t(spark, sf_dir, "part")
     return (
         s.join(
-            F.broadcast(p),
+            p,
             (p.p_retailprice >= s.s_acctbal / 4) & (p.p_retailprice < s.s_acctbal / 4 + 20),
         )
         .groupBy("s_suppkey")
@@ -1677,6 +1699,8 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext115 import REGISTRY_EXT115
     from .registry_ext116 import REGISTRY_EXT116
     from .registry_ext117 import REGISTRY_EXT117
+    from .registry_ext118 import REGISTRY_EXT118
+    from .registry_ext119 import REGISTRY_EXT119
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1795,6 +1819,8 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT115)
     merged.update(REGISTRY_EXT116)
     merged.update(REGISTRY_EXT117)
+    merged.update(REGISTRY_EXT118)
+    merged.update(REGISTRY_EXT119)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

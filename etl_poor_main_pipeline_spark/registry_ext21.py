@@ -105,8 +105,11 @@ FROM diff GROUP BY change_type ORDER BY change_type
 def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] W declarative data-quality audit: every rule evaluates in a
     single pass over lineitem (conditional sums — one scan however many
-    rules), plus one broadcast anti-join for the FK-orphan rule. Output
+    rules), plus one anti-join for the FK-orphan rule whose customer-key
+    side is size-GATED (fastpath.broadcast_if_small: pinned while the
+    table fits an executor, plain shuffled anti-join at scale). Output
     is the contract report: rule name, violation count, rows checked."""
+    from .fastpath import broadcast_if_small
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -131,7 +134,11 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # one job: the orphan count plus orders' row count via a 1-row cross join
     orphans = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        o.join(
+            broadcast_if_small(c, sf_dir, ["customer"]),
+            o.o_custkey == c.c_custkey,
+            "left_anti",
+        )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
         .crossJoin(o.agg(F.count(F.lit(1)).cast("bigint").alias("n_checked")))
         .select(F.lit("fk_orphan_custkey").alias("rule"), "n_violations", "n_checked")

@@ -47,7 +47,12 @@ def q_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     open-ended version. Each fact row matches exactly one version —
     the join cannot explode — and the output is revenue by effective
     segment and order year, which differs from a naive current-state
-    join precisely on the migrated keys' pre-cut orders."""
+    join precisely on the migrated keys' pre-cut orders. The dimension
+    GROWS with the customer table, so its broadcast hint is size-GATED
+    (fastpath.broadcast_if_small): pinned while customer fits an
+    executor, dropped at scale where the equi key (c_custkey) shuffles
+    and the validity window applies as a post-join filter."""
+    from .fastpath import broadcast_if_small
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     lo, hi = "timestamp '1900-01-01'", "timestamp '2100-01-01'"
     cut = f"timestamp '{_PIT_CUT}'"
@@ -63,7 +68,7 @@ def q_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = stable.unionByName(v1).unionByName(v2)
     o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
     joined = o.join(
-        F.broadcast(dim),
+        broadcast_if_small(dim, sf_dir, ["customer"]),
         (o.o_custkey == dim.c_custkey)
         & (o.o_orderdate >= dim.valid_from)
         & (o.o_orderdate < dim.valid_to),

@@ -320,10 +320,13 @@ def q_target_mean_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents"),
     )
+    from .fastpath import broadcast_if_small
+
+    # customer grows with the corpus: size-gated pin, shuffled join at scale
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    oc = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
-        "o_orderkey", "c_mktsegment", "cents"
-    )
+    oc = o.join(
+        broadcast_if_small(c, sf_dir, ["customer"]), o.o_custkey == c.c_custkey
+    ).select("o_orderkey", "c_mktsegment", "cents")
     seg = oc.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_seg"),
         F.sum("cents").cast("bigint").alias("sum_seg"),

@@ -162,11 +162,14 @@ def q_share_of_total_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale-safe spelling of ``sum() OVER ()`` (which would plan a global
     window). Exact decimal sums on both numerator and denominator; the
     ppm ratio divides the two exact doubles identically cross-engine."""
+    from .fastpath import broadcast_if_small
+
+    # customer grows with the corpus: size-gated pin; nation is a true enum
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     per = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(broadcast_if_small(c, sf_dir, ["customer"]), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("dsum"))

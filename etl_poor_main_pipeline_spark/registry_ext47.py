@@ -68,8 +68,13 @@ def q_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         nq=_MAT_NQ, k=_MAT_K, d=_MAT_DIM
     )
     e = _t(spark, sf_dir, "embeddings")
-    queries = e.where(F.col("vec_id") < _MAT_NQ).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    # vec_id is unique, so the id-range filter already caps the query set
+    # at _MAT_NQ rows; the explicit limit() makes that cap VISIBLE to the
+    # plan (GlobalLimit) for the unbounded-broadcast guard — a no-op cut.
+    queries = (
+        e.where(F.col("vec_id") < _MAT_NQ)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+        .limit(_MAT_NQ)
     )
     corpus = e.where(F.col("vec_id") >= _MAT_NQ)
     scored = corpus.crossJoin(F.broadcast(queries)).selectExpr(

@@ -200,8 +200,13 @@ def q_hill_tail_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= _HILL_K)
     )
-    ref = top.where(F.col("rk") == _HILL_K).select(
-        "event_type", F.col("v").alias("x_ref")
+    # the rk == K filter already yields exactly one row per event_type;
+    # folding it through an Aggregate makes that bound VISIBLE to the
+    # unbounded-broadcast guard (max over a single row is the row itself)
+    ref = (
+        top.where(F.col("rk") == _HILL_K)
+        .groupBy("event_type")
+        .agg(F.max("v").alias("x_ref"))
     )
     terms = (
         top.where(F.col("rk") < _HILL_K)

@@ -246,8 +246,11 @@ def q_hhi_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey as o_custkey", "c_nationkey"
     )
     n = _t(spark, sf_dir, "nation").selectExpr("n_nationkey as c_nationkey", "n_name")
+    from .fastpath import broadcast_if_small
+
+    # customer grows with the corpus: size-gated pin; nation is a true enum
     per_cust = (
-        o.join(F.broadcast(c), "o_custkey")
+        o.join(broadcast_if_small(c, sf_dir, ["customer"]), "o_custkey")
         .join(F.broadcast(n), "c_nationkey")
         .groupBy("n_name", "yr", "o_custkey")
         .agg(F.sum("cents").cast("bigint").alias("rev"))

@@ -20,8 +20,6 @@ distinguish from a grouping aggregate over an id):
     value histogram (fanout values, not orders).
   * contrastive_margin_stats / embedding_silhouette_margin — vectors x
     label-centroids, centroid side bounded by the label domain.
-  * matryoshka_overlap — fixed-count query set selected by a constant
-    vec_id bound (a Filter, which the detector cannot size).
   * retrieval_eval_metrics — triangular rank over the BM25 top-15; the
     LIMIT is hidden behind a lazy localCheckpoint that feeds two sides.
   * uplift_qini_by_score — cumulative sums over score-bucket aggregates
@@ -52,7 +50,8 @@ ALLOWED_NESTED_LOOP = {
     "fanout_gini",
     "contrastive_margin_stats",
     "embedding_silhouette_margin",
-    "matryoshka_overlap",
+    # matryoshka_overlap left the list in round 8: its fixed-count query
+    # set now carries an explicit limit() the detector can size.
     "retrieval_eval_metrics",
     "uplift_qini_by_score",
     "kmv_set_ops",

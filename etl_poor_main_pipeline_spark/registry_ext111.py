@@ -46,7 +46,12 @@ _ERR_D = 10
 _PAGE_K = 6  # 4-hour buckets per day
 _PAGE_N = 7  # weekdays
 
-_PAGE_EL = _PAGE_N * _PAGE_K * (_PAGE_K + 1) * (_PAGE_K + 1) // 4
+# E[L] = n*k*(k+1)^2/4 = 514.5 is NOT an integer for k=6 — carry 2*E[L]
+# (n*k*(k+1)^2/2, always integral) and the exact dyadic 514.5 in the z
+# expression, so neither engine truncates the null mean (round-7 advice:
+# the old floor-divided 514 biased z by ~ +24 milli-z).
+_PAGE_EL2 = _PAGE_N * _PAGE_K * (_PAGE_K + 1) * (_PAGE_K + 1) // 2
+_PAGE_EL = _PAGE_EL2 / 2.0  # 514.5, exact in IEEE double (dyadic)
 _PAGE_SD = math.sqrt(
     _PAGE_N * _PAGE_K * _PAGE_K * (_PAGE_K + 1) * (_PAGE_K * _PAGE_K - 1) / 144.0
 )
@@ -103,9 +108,15 @@ def q_cramer_von_mises_2samp(spark: SparkSession, sf_dir: str) -> DataFrame:
             "na",
             "nb",
             "ncells",
+            # operands pre-cast to decimal(38,0) BEFORE the product so the
+            # cross term na*cumb never rides through int64 (overflows past
+            # ~3e9 sample rows) — same staging as anderson_darling_2samp.
             F.expr(
-                "cast(lj as decimal(38,0)) * cast(nb * cuma - na * cumb as decimal(38,0))"
-                " * cast(nb * cuma - na * cumb as decimal(38,0))"
+                "cast(lj as decimal(38,0))"
+                " * (cast(nb as decimal(38,0)) * cast(cuma as decimal(38,0))"
+                "    - cast(na as decimal(38,0)) * cast(cumb as decimal(38,0)))"
+                " * (cast(nb as decimal(38,0)) * cast(cuma as decimal(38,0))"
+                "    - cast(na as decimal(38,0)) * cast(cumb as decimal(38,0)))"
             ).alias("term"),
         )
         .groupBy("na", "nb", "ncells")
@@ -145,8 +156,8 @@ tot AS (SELECT max(cuma)::BIGINT AS na, max(cumb)::BIGINT AS nb,
 stat AS (
   SELECT na, nb, ncells,
          cast(floor(1e6 * cast(sum(lj::HUGEINT
-                  * (nb * cuma - na * cumb)::HUGEINT
-                  * (nb * cuma - na * cumb)::HUGEINT) AS DOUBLE)
+                  * (nb::HUGEINT * cuma::HUGEINT - na::HUGEINT * cumb::HUGEINT)
+                  * (nb::HUGEINT * cuma::HUGEINT - na::HUGEINT * cumb::HUGEINT)) AS DOUBLE)
               / (cast(na AS DOUBLE) * cast(nb AS DOUBLE)
                  * pow(cast(na + nb AS DOUBLE), 2.0)) + 0.5) AS BIGINT) AS t_micro
   FROM pref, tot
@@ -170,9 +181,12 @@ def q_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     the alternative is ordered ("does this metric climb through the
     day?"). Cell means are micro-snapped; per-weekday ranks use the
     (mean, bucket) total order so ties resolve identically on both
-    engines. L = sum_b b*R_b; z = (L - E[L]) / sd with exact integer
-    null moments. Output one row: l_stat, e_l, z_milli, trend_flag
-    (z > 1.645).""".format(k=_PAGE_K, n=_PAGE_N)
+    engines. L = sum_b b*R_b; z = (L - E[L]) / sd with the exact
+    (half-integral) null mean — e_l_x2 carries 2*E[L] so the output
+    stays integer while z uses the exact 514.5. Output one row:
+    l_stat, e_l_x2, z_milli, trend_flag (z > 1.645).""".format(
+        k=_PAGE_K, n=_PAGE_N
+    )
     e = _t(spark, sf_dir, "events")
     grid = (
         e.select(
@@ -196,15 +210,15 @@ def q_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum((F.col("hb") + 1) * F.col("rb")).cast("bigint").alias("l_stat"))
         .select(
             "l_stat",
-            F.lit(_PAGE_EL).cast("bigint").alias("e_l"),
+            F.lit(_PAGE_EL2).cast("bigint").alias("e_l_x2"),
             F.expr(
-                f"cast(floor(1e3 * (cast(l_stat as double) - {_PAGE_EL}.0)"
+                f"cast(floor(1e3 * (cast(l_stat as double) - {_PAGE_EL!r})"
                 f" / {_PAGE_SD!r} + 0.5) as bigint)"
             ).alias("z_milli"),
         )
         .select(
             "l_stat",
-            "e_l",
+            "e_l_x2",
             "z_milli",
             (F.col("z_milli") > F.lit(1645)).alias("trend_flag"),
         )
@@ -228,10 +242,10 @@ l AS (
   FROM (SELECT hb, sum(rk)::BIGINT AS rb FROM ranked GROUP BY hb)
 )
 SELECT l_stat,
-       {_PAGE_EL}::BIGINT AS e_l,
-       cast(floor(1e3 * (cast(l_stat AS DOUBLE) - {_PAGE_EL}.0)
+       {_PAGE_EL2}::BIGINT AS e_l_x2,
+       cast(floor(1e3 * (cast(l_stat AS DOUBLE) - {_PAGE_EL!r})
             / {_PAGE_SD!r} + 0.5) AS BIGINT) AS z_milli,
-       cast(floor(1e3 * (cast(l_stat AS DOUBLE) - {_PAGE_EL}.0)
+       cast(floor(1e3 * (cast(l_stat AS DOUBLE) - {_PAGE_EL!r})
             / {_PAGE_SD!r} + 0.5) AS BIGINT) > 1645 AS trend_flag
 FROM l
 """

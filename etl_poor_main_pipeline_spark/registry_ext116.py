@@ -337,11 +337,18 @@ def q_kuiper_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cuma").cast("bigint").alias("na"),
         F.max("cumb").cast("bigint").alias("nb"),
     )
+    # operands pre-cast to decimal(38,0) BEFORE the cross products so
+    # nb*cuma / na*cumb never ride through int64 (overflow past ~3e9 sample
+    # rows) — same staging as anderson_darling_2samp (round-7 advice).
+    _dplus = (
+        "cast(nb as decimal(38,0)) * cast(cuma as decimal(38,0))"
+        " - cast(na as decimal(38,0)) * cast(cumb as decimal(38,0))"
+    )
     dd = (
         pref.crossJoin(F.broadcast(tot))
         .agg(
-            F.max(F.expr("nb * cuma - na * cumb")).cast("bigint").alias("dplus_num"),
-            F.max(F.expr("na * cumb - nb * cuma")).cast("bigint").alias("dminus_num"),
+            F.max(F.expr(_dplus)).alias("dplus_num"),
+            F.max(F.expr(f"-({_dplus})")).alias("dminus_num"),
             F.max("na").cast("bigint").alias("na"),
             F.max("nb").cast("bigint").alias("nb"),
         )
@@ -381,8 +388,10 @@ pref AS (
 ),
 tot AS (SELECT max(cuma)::BIGINT AS na, max(cumb)::BIGINT AS nb FROM pref),
 dd AS (
-  SELECT max(nb * cuma - na * cumb)::BIGINT AS dplus_num,
-         max(na * cumb - nb * cuma)::BIGINT AS dminus_num,
+  SELECT max(nb::HUGEINT * cuma::HUGEINT - na::HUGEINT * cumb::HUGEINT)
+           AS dplus_num,
+         max(na::HUGEINT * cumb::HUGEINT - nb::HUGEINT * cuma::HUGEINT)
+           AS dminus_num,
          max(na)::BIGINT AS na, max(nb)::BIGINT AS nb
   FROM pref, tot
 )

@@ -109,9 +109,17 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             # nanosAsLong path: a TIMESTAMP(NANOS) corpus arrives as raw
             # int64 nanos (session.py sets the legacy conf for exactly this
             # case); rebuild the µs instant so downstream event queries see
-            # a timestamp, not a bigint.
+            # a timestamp, not a bigint. FLOOR division (not `div`, which
+            # truncates toward zero): pre-epoch nanos are negative, and the
+            # native timestamp paths floor sub-µs fractions toward -inf —
+            # truncation would shift pre-1970 instants up by 1µs.
             df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000").cast("bigint"))
+                "ts",
+                F.timestamp_micros(
+                    F.expr("(ts - ((ts % 1000) + 1000) % 1000) div 1000").cast(
+                        "bigint"
+                    )
+                ),
             )
         return df
     except Exception:

@@ -6,7 +6,7 @@ from etl_poor_main_pipeline_spark.plans.explain import (
 )
 from etl_poor_main_pipeline_spark.registry_ext111 import (
     _ERR_D,
-    _PAGE_EL,
+    _PAGE_EL2,
     _PAGE_K,
     _PAGE_N,
     q_cramer_von_mises_2samp,
@@ -38,7 +38,9 @@ def test_page_l_bounds(spark):
     )
     lmax = _PAGE_N * sum((b + 1) * (b + 1) for b in range(_PAGE_K))
     assert lmin <= r.l_stat <= lmax
-    assert r.e_l == _PAGE_EL
+    # 2*E[L] = n*k*(k+1)^2/2 is exactly integral; E[L] itself is 514.5
+    assert r.e_l_x2 == _PAGE_EL2
+    assert _PAGE_EL2 == _PAGE_N * _PAGE_K * (_PAGE_K + 1) ** 2 // 2
     assert r.trend_flag == (r.z_milli > 1645)
     assert unbounded_nested_loop_joins(q_page_trend_test(spark, SF)) == []
 

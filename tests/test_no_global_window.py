@@ -94,6 +94,12 @@ ALLOWED_GLOBAL = {
     "mood_median_test",
     # Wave 117: variance-weighted prefix walk over centi VALUE CELLS
     "anderson_darling_2samp",
+    # Wave 118: risk-set suffix walk over duration-DAY cells (calendar-
+    # bounded, same category as pettitt_changepoint) / pairwise-distance
+    # prefix walk over centi VALUE CELLS (same category as
+    # cramer_von_mises_2samp)
+    "log_rank_survival",
+    "energy_distance_2samp",
 }
 
 STREAM_PREFIXES = ("streaming_", "stream_")

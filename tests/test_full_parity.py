@@ -40,3 +40,25 @@ def test_full_registry_parity():
         f"parity sweep failed (exit {proc.returncode}); last lines:\n{tail}\n"
         f"stderr tail:\n{proc.stderr[-2000:]}"
     )
+    # Record the run so wave commits can cite it (VERDICT r7 #6: the sweep
+    # existed but nothing proved it ran). One line per run: timestamp,
+    # HEAD, and parity.py's final "N pass, M fail" summary.
+    import datetime
+
+    summary = next(
+        (
+            ln.strip()
+            for ln in reversed(proc.stdout.splitlines())
+            if " pass, " in ln
+        ),
+        "summary line missing",
+    )
+    head = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+    ).stdout.strip()
+    stamp = datetime.datetime.now().astimezone().isoformat(timespec="seconds")
+    with open(REPO / "PARITY.log", "a") as fh:
+        fh.write(f"{stamp} HEAD={head or '?'} sf0.01 {summary}\n")

@@ -253,6 +253,40 @@ MARKERS = (
 )
 
 
+#: Every query above this idle wall (committed ledger BENCH_QUERIES.json)
+#: gets a PLANS.md section even without a hand-written annotation — the
+#: round-5..7 recurring gap was hand-list staleness; the ledger is the
+#: source of truth now (VERDICT r7 #3).
+SLOW_LEDGER_SEC = 1.0
+
+
+def audited_names() -> list[tuple[str, str]]:
+    """Hand-annotated queries first (stable order), then every >1s ledger
+    query not already hand-annotated, auto-annotated from its wall."""
+    import json
+    import os
+
+    entries = list(AUDITED)
+    have = {n for n, _ in entries}
+    ledger_path = os.path.join(os.path.dirname(__file__), "..", "BENCH_QUERIES.json")
+    try:
+        with open(ledger_path) as fh:
+            ledger = json.load(fh)
+    except OSError:
+        return entries
+    for name, wall in sorted(ledger.items(), key=lambda kv: -kv[1]):
+        if wall > SLOW_LEDGER_SEC and name not in have:
+            entries.append(
+                (
+                    name,
+                    f"auto-audited: {wall:.2f}s in the committed idle ledger "
+                    f"(every >{SLOW_LEDGER_SEC:g}s query gets a section)",
+                )
+            )
+            have.add(name)
+    return entries
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from etl_poor_main_pipeline_spark.plans.explain import explain_str
@@ -271,8 +305,14 @@ def main() -> None:
         "markers extracted from `.explain('formatted')` — pushdown, broadcast,",
         "exchange count, codegen coverage, and any Python in the row path.",
         "",
+        "Coverage: every hand-annotated headline query PLUS every query",
+        f"above {SLOW_LEDGER_SEC:g}s in the committed idle ledger",
+        "(BENCH_QUERIES.json) — asserted by tests/test_plans_coverage.py.",
+        "",
     ]
-    for name, why in AUDITED:
+    for name, why in audited_names():
+        if name not in qs:  # stale ledger entry (renamed/removed query)
+            continue
         plan = explain_str(qs[name](spark, sf_dir))
         out.append(f"## {name}")
         out.append("")

@@ -260,20 +260,24 @@ def main() -> None:
         lines.append(f"| {name} | " + " | ".join(cells) + f" | {crossed} |")
     lines += [
         "",
-        "ANN-tier caveats (round-8 task: measure the designed answers to",
-        "the exact brute-force counterexample):",
-        "- `similarity_ivf_topk` vs `similarity_topk_cosine`: the IVF",
-        "  variant probes centroid buckets, so its per-row work FALLS as",
-        "  the corpus grows while exact cosine stays linear — compare",
-        "  their spark columns directly (same query vectors, constant",
-        "  query count under key-offset replication).",
-        "- `dedup_minhash_lsh`: documents.text replicates VERBATIM, so",
-        "  every replica of a template is a true near-dup of every other",
-        "  replica — the PAIR workload itself grows ~quadratically in the",
-        "  factor for both engines. The ratio column still compares like",
-        "  for like (the DuckDB oracle sees the same inflated workload),",
-        "  but the absolute walls measure that inflated pair count, not",
-        "  linear corpus growth.",
+        "ANN-tier reading (round-8 task: measure the designed answers to",
+        "the exact brute-force counterexample; honest includes the part",
+        "that does NOT cross locally):",
+        "- `similarity_ivf_topk`: its Spark/DuckDB ratio FALLS with scale",
+        "  (12.9x at x4 -> 0.6x at x64 — measured crossover) because the",
+        "  centroid-probe shortlist is sublinear while the oracle pays the",
+        "  full emulation. Locally IVF's ABSOLUTE wall still exceeds exact",
+        "  brute force on Spark (29.5s vs 5.2s at x64): at these corpus",
+        "  sizes the train/assign overhead dominates the probe savings —",
+        "  the curves argue the 100x case (exact ratio flat ~30x at every",
+        "  factor; IVF ratio falling monotonically), not the local one.",
+        "- `dedup_minhash_lsh`: Spark beats the DuckDB oracle at EVERY",
+        "  factor (0.4-0.6x) — the band-bucket shuffle scales. Caveat:",
+        "  documents.text replicates VERBATIM, so every replica of a",
+        "  template is a true near-dup of every other replica and the PAIR",
+        "  workload itself grows ~quadratically in the factor for both",
+        "  engines; the ratio compares like for like, the absolute walls",
+        "  measure that inflated pair count, not linear corpus growth.",
     ]
     out_md = os.path.join(REPO, "SCALING.md")
     with open(out_md, "w") as fh:

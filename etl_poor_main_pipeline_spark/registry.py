@@ -1701,6 +1701,8 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext117 import REGISTRY_EXT117
     from .registry_ext118 import REGISTRY_EXT118
     from .registry_ext119 import REGISTRY_EXT119
+    from .registry_ext120 import REGISTRY_EXT120
+    from .registry_ext121 import REGISTRY_EXT121
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1821,6 +1823,8 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT117)
     merged.update(REGISTRY_EXT118)
     merged.update(REGISTRY_EXT119)
+    merged.update(REGISTRY_EXT120)
+    merged.update(REGISTRY_EXT121)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

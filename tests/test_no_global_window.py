@@ -100,6 +100,14 @@ ALLOWED_GLOBAL = {
     # cramer_von_mises_2samp)
     "log_rank_survival",
     "energy_distance_2samp",
+    # Wave 120: midrank/dominance prefix walks over centi VALUE CELLS
+    # (same category as cramer_von_mises_2samp)
+    "brunner_munzel_test",
+    "cliffs_delta_effect",
+    # Wave 121: order-statistic CDF / midrank prefix walks over centi
+    # VALUE CELLS (same category)
+    "pot_mean_excess",
+    "cucconi_test",
 }
 
 STREAM_PREFIXES = ("streaming_", "stream_")

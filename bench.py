@@ -140,6 +140,9 @@ def main() -> None:
         "bradley_terry_strengths",
         "markov_removal_attribution",
         "fellegi_sunter_linkage",
+        # round-8: iterative hub/auth loop reads 2.4s mid-marathon vs
+        # 1.38s back-to-back (committed A/B) — same settled-heap class
+        "hits_event_types",
     ]
     ordered = [(n, qs[n]) for n in HEAVY_FIRST if n in qs]
     ordered += [(n, fn) for n, fn in qs.items() if n not in HEAVY_FIRST]

@@ -180,6 +180,7 @@ def small_input_shuffle_partitions(nbytes: int) -> int:
 #:   markov_entropy_rate      1.297s -> 1.750s (1.35x) — chain-power joins
 #:   hits_event_types         1.376s -> 1.809s (1.31x) — hub/auth rounds
 #:   energy_distance_2samp    0.516s -> 0.689s (1.34x) — cell prefix walk
+#:   anova_two_way            0.775s -> 0.993s (1.28x) — cell-grid joins
 #: Harnesses keep AQE (skip the posture) for these names.
 #: tests/test_fastpath.py asserts two-way consistency with the committed
 #: A/B: every measured >1.5x regression is listed here, and every listed
@@ -195,6 +196,7 @@ AQE_KEEP_QUERIES = frozenset(
         "markov_entropy_rate",
         "hits_event_types",
         "energy_distance_2samp",
+        "anova_two_way",
     }
 )
 

@@ -143,19 +143,33 @@ def main() -> None:
         # round-8: iterative hub/auth loop reads 2.4s mid-marathon vs
         # 1.38s back-to-back (committed A/B) — same settled-heap class
         "hits_event_types",
+        # round-9 (VERDICT r8 #1): the wave-117/118 post-reduce stat family
+        # stacks 3-5 chained reductions whose stage launches inflated 7-15x
+        # when the driver ran them last, after ~7,400 accumulated stages
+        # (log_rank 0.42s committed vs 6.28s driver) — same settled-heap
+        # class; run them on the settled head.
+        "log_rank_survival",
+        "dau_wau_stickiness",
+        "littles_law_audit",
+        "gumbel_daily_maxima",
+        "energy_distance_2samp",
+        "dickey_fuller_unit_root",
+        "granger_causality_hourly",
+        "mood_median_test",
     ]
     ordered = [(n, qs[n]) for n in HEAVY_FIRST if n in qs]
     ordered += [(n, fn) for n, fn in qs.items() if n not in HEAVY_FIRST]
 
     # Size-derived execution posture: on a corpus this small, AQE's
     # per-stage driver round-trips and a 32-wide shuffle fan-out are pure
-    # floor; the committed 499-query idle A/B (tools/ab_fastpath.py ->
-    # AB_FASTPATH.json, RATIO.md "fastpath A/B") shows the posture wins or
-    # ties on 497 queries and hurts exactly two iterative tiny-join loops
-    # (bradley_terry 1.2s -> 4.8s) — those keep AQE via the MEASURED
-    # opt-out list AQE_KEEP_QUERIES (two-way-tested against the committed
-    # A/B). At cluster scale small_input_posture is a no-op and AQE stays
-    # on for everything. See fastpath.py.
+    # floor; the committed 513-query idle A/B (tools/ab_fastpath.py ->
+    # AB_FASTPATH.json, RATIO.md "fastpath A/B") shows 2 queries regress
+    # >1.5x (bradley_terry 3.9x) and 7 total show >=1.28x regressions —
+    # iterative tiny-join loops that rely on AQE coalescing; those seven
+    # keep AQE via the MEASURED opt-out list AQE_KEEP_QUERIES
+    # (two-way-tested against the committed A/B). At cluster scale
+    # small_input_posture is a no-op and AQE stays on for everything.
+    # See fastpath.py.
     from etl_poor_main_pipeline_spark.fastpath import (
         SMALL_INPUT_THRESHOLD_BYTES,
         AQE_KEEP_QUERIES,

@@ -12,15 +12,15 @@ headline subset ~-35% with identical results.
 BUT the posture is not free for EVERY plan. Round 7 shipped it
 process-wide with an unsubstantiated "no query regresses" claim; round 8
 replaced the claim with measurement: tools/ab_fastpath.py ran the FULL
-499-query registry posture-ON vs posture-OFF back-to-back on an idle host
+513-query registry posture-ON vs posture-OFF back-to-back on an idle host
 (committed as AB_FASTPATH.json + the "fastpath A/B" table in RATIO.md).
-Result: the posture wins or ties on 497 of 499 queries — including the
-iterative graph/dedup pipelines (pagerank 5.3s -> 3.2s, minhash-LSH 4.9s
--> 3.4s) — and measurably HURTS exactly two, where repeated tiny-frame
-joins rely on AQE's partition coalescing and runtime broadcast demotion:
-bradley_terry_strengths (1.2s -> 4.8s) and collocation_llr_bigrams
-(0.6s -> 1.0s). Those two are :data:`AQE_KEEP_QUERIES`; the harnesses
-(bench.py, tools/scaling.py) skip the posture for them and
+Result: the posture wins or ties on the overwhelming majority — including
+the iterative graph/dedup pipelines (pagerank 5.3s -> 3.2s, minhash-LSH
+4.9s -> 3.4s) — 2 queries regress >1.5x (bradley_terry_strengths 3.9x,
+collocation_llr_bigrams 1.6x) and 7 total show >=1.28x regressions
+where repeated tiny-frame joins rely on AQE's partition coalescing and
+runtime broadcast demotion; those seven are :data:`AQE_KEEP_QUERIES`.
+The harnesses (bench.py, tools/scaling.py) skip the posture for them and
 tests/test_fastpath.py asserts the list stays consistent with the
 committed A/B in BOTH directions (every measured regression is listed,
 no stale entries).

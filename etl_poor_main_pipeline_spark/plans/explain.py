@@ -300,9 +300,10 @@ def _unbounded_witnesses(
       * a bounding node (aggregate, limit, literal, small range) caps its
         whole subtree;
       * a left-semi/anti join is capped iff its LEFT input is;
-      * any other join is capped if EITHER input is (the fixed-holdout
-        idiom: an inner equi-join against a LIMIT-ed key set outputs at
-        most holdout-many matches per key);
+      * any other join is capped iff ALL inputs are; a join of a bounded
+        keyset against a growing side yields a distinguishable
+        ``join-multiplicity`` witness (bounded only if the growing side is
+        unique per key — semantic, sanctioned per query);
       * everything else (project/filter/window/union/...) is capped iff
         ALL inputs are.
     Witness leaves: growing corpus Relations (by column-name identity) and
@@ -328,8 +329,23 @@ def _unbounded_witnesses(
     if head == "Join":
         if "LeftSemi" in line or "LeftAnti" in line:
             return child_ws[0]
-        if any(not w for w in child_ws):
+        if all(not w for w in child_ws):
             return []
+        if any(not w for w in child_ws):
+            # One side bounded, the other grows: the output is bounded only
+            # if the growing side is UNIQUE per join key (a LIMIT-ed keyset
+            # probing a primary key), which is semantic, not mechanical — a
+            # fact side with many rows per key grows with the corpus even
+            # behind a K-row keyset. Emit a distinguishable witness class so
+            # callers can sanction the genuinely-unique cases per query with
+            # a documented rationale (tests/test_no_unbounded_broadcast.py
+            # ALLOWED_JOIN_MULTIPLICITY), mirroring the LogicalRDD pattern.
+            grown = [w for ws in child_ws for w in ws]
+            return [
+                "join-multiplicity (bounded keyset joined to a growing "
+                "side; bounded only if that side is unique per key): "
+                + grown[0]
+            ]
         return [w for ws in child_ws for w in ws]
     return [w for ws in child_ws for w in ws]
 

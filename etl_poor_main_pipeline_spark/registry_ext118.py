@@ -97,36 +97,43 @@ def q_log_rank_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("at"),  # arrivals (all) at t
     )
     # risk sets: users with duration >= t, via suffix sums over the day
-    # spine (calendar-bounded frame; single ordered walk, no corpus scan)
+    # spine (calendar-bounded frame; single ordered walk, no corpus scan).
+    # The O/E/V moment terms are folded into this same projection, and the
+    # dt>0 & nt>1 term filter becomes a conditional inside each term, so the
+    # day-spine walk and the terms aggregate share one stage.  n_users is
+    # recovered as max(nt): the suffix sum at the minimal duration day
+    # counts every user — no second pass over per_user (the old broadcast
+    # tot_users subtree re-executed the events scan and the user groupBy).
     w = Window.orderBy(F.col("t").desc()).rowsBetween(Window.unboundedPreceding, 0)
-    risk = cells.select(
-        "t",
+    live = "(dt > 0 and nt > 1)"
+    terms = cells.select(
         "d1",
         "dt",
         F.sum("a1").over(w).cast("bigint").alias("n1"),
         F.sum("at").over(w).cast("bigint").alias("nt"),
-    ).filter((F.col("dt") > 0) & (F.col("nt") > 1))
-    terms = risk.select(
-        "d1",
+    ).select(
+        "nt",
+        F.expr(f"if({live}, d1, 0L)").alias("d1"),
         F.expr(
-            "cast(floor(1e6 * cast(dt * n1 as double) / cast(nt as double)"
-            " + 0.5) as bigint)"
+            f"if({live},"
+            " cast(floor(1e6 * cast(dt * n1 as double) / cast(nt as double)"
+            " + 0.5) as bigint), 0L)"
         ).alias("e1_micro"),
         F.expr(
-            "cast(floor(1e6 * cast(dt * n1 as double) / cast(nt as double)"
+            f"if({live},"
+            " cast(floor(1e6 * cast(dt * n1 as double) / cast(nt as double)"
             " * (1.0 - cast(n1 as double) / cast(nt as double))"
             " * cast(nt - dt as double) / cast(nt - 1 as double)"
-            " + 0.5) as bigint)"
+            " + 0.5) as bigint), 0L)"
         ).alias("v_micro"),
     )
-    tot_users = per_user.agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
     return (
         terms.agg(
+            F.max("nt").cast("bigint").alias("n_users"),
             F.sum("d1").cast("bigint").alias("o1"),
             F.sum("e1_micro").cast("bigint").alias("e1_micro"),
             F.sum("v_micro").cast("bigint").alias("v_micro"),
         )
-        .crossJoin(F.broadcast(tot_users))
         .select(
             "n_users",
             "o1",

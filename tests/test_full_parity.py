@@ -41,9 +41,18 @@ def test_full_registry_parity():
         f"stderr tail:\n{proc.stderr[-2000:]}"
     )
     # Record the run so wave commits can cite it (VERDICT r7 #6: the sweep
-    # existed but nothing proved it ran). One line per run: timestamp,
-    # HEAD, and parity.py's final "N pass, M fail" summary.
+    # existed but nothing proved it ran). Opt-in via PARITY_LOG=1 so plain
+    # pytest runs stay hermetic (ADVICE r8: unconditional appends dirtied
+    # the tree on every run and interleaved under concurrency). One line
+    # per run: timestamp, HEAD (+dirty when the tree differs from HEAD —
+    # VERDICT r8 #3: a clean-looking HEAD field on a dirty-tree sweep
+    # claimed a query count the commit didn't contain), and parity.py's
+    # final "N pass, M fail" summary.
     import datetime
+    import os
+
+    if os.environ.get("PARITY_LOG") != "1":
+        return
 
     summary = next(
         (
@@ -59,6 +68,13 @@ def test_full_registry_parity():
         capture_output=True,
         text=True,
     ).stdout.strip()
+    dirty = subprocess.run(
+        ["git", "status", "--porcelain"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+    ).stdout.strip()
+    head_field = f"{head or '?'}{'+dirty' if dirty else ''}"
     stamp = datetime.datetime.now().astimezone().isoformat(timespec="seconds")
     with open(REPO / "PARITY.log", "a") as fh:
-        fh.write(f"{stamp} HEAD={head or '?'} sf0.01 {summary}\n")
+        fh.write(f"{stamp} HEAD={head_field} sf0.01 {summary}\n")

@@ -96,9 +96,11 @@ def write_outputs(rows: dict, sf_dir: str) -> None:
     text = open(ratio_md).read() if os.path.exists(ratio_md) else "# RATIO\n\n"
     marker = "## fastpath A/B"
     if marker in text:
+        # callable replacement: query names / sf_dir strings in the table
+        # must not be interpreted as \g backreference templates
         text = re.sub(
             re.escape(marker) + r".*?(?=\n## (?!fastpath A/B)|\Z)",
-            section,
+            lambda m: section,
             text,
             flags=re.S,
         )

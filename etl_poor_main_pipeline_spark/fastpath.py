@@ -12,7 +12,7 @@ headline subset ~-35% with identical results.
 BUT the posture is not free for EVERY plan. Round 7 shipped it
 process-wide with an unsubstantiated "no query regresses" claim; round 8
 replaced the claim with measurement: tools/ab_fastpath.py ran the FULL
-513-query registry posture-ON vs posture-OFF back-to-back on an idle host
+541-query registry posture-ON vs posture-OFF back-to-back on an idle host
 (committed as AB_FASTPATH.json + the "fastpath A/B" table in RATIO.md).
 Result: the posture wins or ties on the overwhelming majority — including
 the iterative graph/dedup pipelines (pagerank 5.3s -> 3.2s, minhash-LSH
@@ -170,10 +170,10 @@ def small_input_shuffle_partitions(nbytes: int) -> int:
 
 
 #: Queries MEASURED to run slower under the small-input posture in the
-#: committed 499-query idle A/B (tools/ab_fastpath.py -> AB_FASTPATH.json
-#: / RATIO.md "fastpath A/B"). All three iterate joins over tiny derived
-#: frames, where AQE's stage coalescing and runtime broadcast demotion
-#: beat any static plan:
+#: committed full-registry idle A/B (tools/ab_fastpath.py ->
+#: AB_FASTPATH.json / RATIO.md "fastpath A/B"). All seven iterate joins
+#: or walks over tiny derived frames, where AQE's stage coalescing and
+#: runtime broadcast demotion beat any static plan:
 #:   bradley_terry_strengths  1.206s -> 4.755s (3.94x) — 3-round MM loop
 #:   collocation_llr_bigrams  0.599s -> 0.980s (1.64x) — bigram LLR joins
 #:   greedy_max_coverage      1.820s -> 2.719s (1.49x) — K greedy steps

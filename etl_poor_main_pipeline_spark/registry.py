@@ -1703,6 +1703,11 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext119 import REGISTRY_EXT119
     from .registry_ext120 import REGISTRY_EXT120
     from .registry_ext121 import REGISTRY_EXT121
+    from .registry_ext122 import REGISTRY_EXT122
+    from .registry_ext123 import REGISTRY_EXT123
+    from .registry_ext124 import REGISTRY_EXT124
+    from .registry_ext125 import REGISTRY_EXT125
+    from .registry_ext126 import REGISTRY_EXT126
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1825,6 +1830,11 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT119)
     merged.update(REGISTRY_EXT120)
     merged.update(REGISTRY_EXT121)
+    merged.update(REGISTRY_EXT122)
+    merged.update(REGISTRY_EXT123)
+    merged.update(REGISTRY_EXT124)
+    merged.update(REGISTRY_EXT125)
+    merged.update(REGISTRY_EXT126)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

@@ -1,0 +1,440 @@
+"""Wave 125 [EXT]: storage-layout scale demos (bucketed co-located join,
+dynamic partition pruning) and distribution-profile completers (inverse
+Simpson diversity, Renyi entropy profile, engagement-depth histogram,
+power-law MLE).
+
+Scale notes (the 100x question, per query):
+- bucketed_join_colocate: writes orders+lineitem BUCKETED by the join
+  key (hash co-location, the 100 TB strategy for repeated big-big
+  joins) and joins the bucketed reads back — the sort-merge join reads
+  bucket-aligned splits with NO shuffle exchange on either side
+  (asserted mechanically in tests/test_ext125.py). At cluster scale the
+  same bucketBy(N) DDL amortizes one layout shuffle across every
+  downstream join on that key.
+- partition_pruned_scan: writes events PARTITIONED by day and joins a
+  weekend calendar dim — Spark's dynamic partition pruning turns the
+  dim into a runtime partition filter on the fact scan (dynamicpruning
+  subquery asserted in the test), the mechanism that turns a 100 TB
+  full scan into a read of the qualifying days only.
+- simpson_diversity_lang / renyi_entropy_profile / powerlaw_alpha_mle:
+  token frequencies reduce per (lang, token) in one tf-idf-shaped
+  shuffle; the diversity/entropy/tail statistics are exact integer
+  moment sums over the frequency SPECTRUM (token-domain cardinality
+  never leaves the aggregate), with ln() micro-snapped per count.
+- engagement_depth_histogram: (user, day) distinct frame -> per-user
+  active-day counts -> a histogram bounded by the observation window
+  (<= |days| rows at any corpus size).
+
+Reference parity: none; [EXT] S/X6/X7/X9 tier per BASELINE.json.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import QuerySpec, _t, _dsum, _DSUM_SQL
+
+_DAY_US = 86_400_000_000
+_BUCKETS = 8
+_PL_FMIN = 5  # power-law MLE lower cutoff
+
+_DEC = "cast({x} as decimal(38,0))"
+
+
+# --------------------------------------------------------------------------
+# Bucketed co-located join (S/W-tier [EXT])
+# --------------------------------------------------------------------------
+
+
+def q_bucketed_join_colocate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] S/W-tier bucketed co-location: orders and lineitem are
+    written bucketBy({b}, orderkey) + sortBy into the session catalog,
+    then joined on the bucket key — Spark aligns bucket files one-to-one
+    and plans the sort-merge join with ZERO shuffle exchanges (the
+    mechanized assertion in tests/test_ext125.py). This is the layout
+    strategy that amortizes one shuffle across every downstream join on
+    the key at 100 TB. Values match the plain parquet-side join
+    (oracle), proving the bucketed round trip is lossless.""".format(
+        b=_BUCKETS
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    to, tl = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    # EXTERNAL bucketed tables under the tempdir: a managed table's
+    # warehouse directory outlives the in-memory catalog, so a fresh
+    # session would hit LOCATION_ALREADY_EXISTS; an explicit path plus
+    # DROP-IF-EXISTS makes the write idempotent across sessions.
+    for name, df, key in ((to, o, "o_orderkey"), (tl, li, "l_orderkey")):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .option("path", os.path.join(tempfile.gettempdir(), name))
+            .bucketBy(_BUCKETS, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    bo, bl = spark.table(to), spark.table(tl)
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # pin the strategy the 100 TB plan would use (two big bucketed sides
+    # -> sort-merge): at bench SF the planner would otherwise broadcast
+    # the tiny side and the layout's zero-exchange property would never
+    # appear in the plan the test asserts
+    return (
+        bl.hint("merge").join(bo, bl.l_orderkey == bo.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            _dsum(revenue, "revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_ORACLE_BUCKETED = f"""
+SELECT o_orderstatus, count(*)::BIGINT AS n_items,
+       {_DSUM_SQL.format(col='l_extendedprice * (1 - l_discount)', scale=2, alias='revenue')}
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Dynamic partition pruning (S-tier [EXT])
+# --------------------------------------------------------------------------
+
+
+def q_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] S-tier dynamic partition pruning: events written PARTITIONED
+    by calendar day, then joined against a WEEKEND calendar dim (the
+    holiday/weekend-table join shape). Spark's DPP rewrites the fact
+    scan with a dynamicpruning subquery so only the dim's qualifying day
+    partitions are READ (asserted in tests/test_ext125.py) — at 100 TB
+    this is the difference between a full scan and the qualifying days.
+    Output: per-day event count and exact-decimal value sum over the
+    pruned days."""
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"dpp_events_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}",
+    )
+    e = _t(spark, sf_dir, "events").select(
+        F.expr(f"unix_micros(ts) div {_DAY_US}").alias("day"),
+        "event_type",
+        "value",
+    )
+    e.write.mode("overwrite").partitionBy("day").parquet(path)
+    fact = spark.read.parquet(path)
+    # calendar dim: the distinct WEEKEND days (epoch day 0 = Thursday).
+    # The restriction lives on the dim with a LITERAL predicate — the
+    # shape a real pipeline uses for holiday/weekend calendar tables, and
+    # the shape Spark's pruning rule recognizes as selective (an
+    # attribute-vs-attribute filter is not "likely selective" and never
+    # triggers DPP). The dim reads back as int (partition-column
+    # inference) so no cast sits between the join key and the partition
+    # attribute.
+    dim = (
+        e.select(F.col("day").cast("int").alias("dday"))
+        .distinct()
+        .filter(F.expr("((dday + 4) % 7) >= 5"))
+    )
+    # broadcast the dim (calendar-bounded distinct, bounded by
+    # construction) so the partitioned fact stays on the PROBE side —
+    # that is the shape dynamic partition pruning rewrites
+    return (
+        fact.join(F.broadcast(dim), fact.day == dim.dday)
+        .groupBy(F.col("day").cast("bigint").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            _dsum(F.col("value"), "sum_value"),
+        )
+        .orderBy("day")
+    )
+
+
+_ORACLE_DPP = f"""
+WITH e AS (
+  SELECT epoch_us(ts) // {_DAY_US} AS day, value FROM events
+),
+dim AS (
+  SELECT DISTINCT day FROM e WHERE ((day + 4) % 7) >= 5
+)
+SELECT e.day, count(*)::BIGINT AS n_events,
+       {_DSUM_SQL.format(col='value', scale=2, alias='sum_value')}
+FROM e JOIN dim ON e.day = dim.day
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Inverse Simpson diversity per language (X6/X7 [EXT])
+# --------------------------------------------------------------------------
+
+
+def q_simpson_diversity_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] X6/X7 inverse Simpson diversity of the token distribution
+    per language: D_inv = N^2 / sum(c_i^2) — the effective number of
+    equally-common token types (Hill number of order 2). Token counts
+    reduce per (lang, token); the diversity needs only the exact
+    integer moments N and sum(c^2) per lang. Output per lang:
+    n_tokens, n_types, inv_simpson_micro."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang",
+        F.explode(
+            F.expr(r"filter(split(lower(text), '\\s+'), t -> t <> '')")
+        ).alias("tok"),
+    )
+    freq = tok.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    return (
+        freq.groupBy("lang")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.sum(F.expr(f"{_DEC.format(x='c')} * c")).alias("sc2"),
+        )
+        .selectExpr(
+            "lang",
+            "n_tokens",
+            "n_types",
+            "cast(floor(1e6 * cast(n_tokens as double) * cast(n_tokens as double)"
+            " / cast(sc2 as double) + 0.5) as bigint) AS inv_simpson_micro",
+        )
+        .orderBy("lang")
+    )
+
+
+_ORACLE_SIMPSON = r"""
+WITH tok AS (
+  SELECT lang, t AS tok
+  FROM documents,
+       unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                          x -> x <> '')) AS u(t)
+),
+freq AS (SELECT lang, tok, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2)
+SELECT lang, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+       cast(floor(1e6 * cast(sum(c) AS DOUBLE) * cast(sum(c) AS DOUBLE)
+            / cast(sum(c::HUGEINT * c) AS DOUBLE) + 0.5) AS BIGINT)
+         AS inv_simpson_micro
+FROM freq GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Renyi entropy profile (X6/X7 [EXT])
+# --------------------------------------------------------------------------
+
+
+def q_renyi_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] X6/X7 Renyi entropy profile of the GLOBAL token
+    distribution at orders 0, 1, 2, inf: H0 = ln V (richness), H1 =
+    Shannon (per-count micro-snapped ln), H2 = -ln sum p^2 (collision),
+    Hinf = -ln p_max (min-entropy) — the profile's decay quantifies how
+    head-heavy the vocabulary is (H0 >= H1 >= H2 >= Hinf). All moments
+    are exact integers off the frequency spectrum. Output one row:
+    n_tokens, n_types, h0_micro, h1_micro, h2_micro, hinf_micro."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(
+            F.expr(r"filter(split(lower(text), '\\s+'), t -> t <> '')")
+        ).alias("tok")
+    )
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    lnm = "cast(floor(1e6 * ln(cast({x} as double)) + 0.5) as bigint)"
+    agg = freq.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+        F.sum(F.expr(f"{_DEC.format(x='c')} * c")).alias("sc2"),
+        F.max("c").cast("bigint").alias("cmax"),
+        F.sum(F.expr(f"{_DEC.format(x='c')} * {lnm.format(x='c')}")).alias("slc"),
+    )
+    return agg.selectExpr(
+        "n AS n_tokens",
+        "v AS n_types",
+        "cast(floor(1e6 * ln(cast(v as double)) + 0.5) as bigint) AS h0_micro",
+        "cast(floor(1e6 * (ln(cast(n as double))"
+        " - cast(slc as double) / (cast(n as double) * 1e6)) + 0.5) as bigint)"
+        " AS h1_micro",
+        "cast(floor(-1e6 * ln(cast(sc2 as double)"
+        " / (cast(n as double) * cast(n as double))) + 0.5) as bigint)"
+        " AS h2_micro",
+        "cast(floor(-1e6 * ln(cast(cmax as double) / cast(n as double)) + 0.5)"
+        " as bigint) AS hinf_micro",
+    )
+
+
+_ORACLE_RENYI = r"""
+WITH tok AS (
+  SELECT t AS tok
+  FROM documents,
+       unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                          x -> x <> '')) AS u(t)
+),
+freq AS (SELECT tok, count(*)::BIGINT AS c FROM tok GROUP BY 1),
+agg AS (
+  SELECT sum(c)::BIGINT AS n, count(*)::BIGINT AS v,
+         sum(c::HUGEINT * c) AS sc2, max(c)::BIGINT AS cmax,
+         sum(c::HUGEINT
+             * cast(floor(1e6 * ln(cast(c AS DOUBLE)) + 0.5) AS BIGINT)) AS slc
+  FROM freq
+)
+SELECT n AS n_tokens, v AS n_types,
+       cast(floor(1e6 * ln(cast(v AS DOUBLE)) + 0.5) AS BIGINT) AS h0_micro,
+       cast(floor(1e6 * (ln(cast(n AS DOUBLE))
+            - cast(slc AS DOUBLE) / (cast(n AS DOUBLE) * 1e6)) + 0.5) AS BIGINT)
+         AS h1_micro,
+       cast(floor(-1e6 * ln(cast(sc2 AS DOUBLE)
+            / (cast(n AS DOUBLE) * cast(n AS DOUBLE))) + 0.5) AS BIGINT)
+         AS h2_micro,
+       cast(floor(-1e6 * ln(cast(cmax AS DOUBLE) / cast(n AS DOUBLE)) + 0.5)
+            AS BIGINT) AS hinf_micro
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# Engagement-depth histogram (X9 [EXT])
+# --------------------------------------------------------------------------
+
+
+def q_engagement_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] X9 engagement depth: the distribution of ACTIVE DAYS per
+    user over the observation window — the L28-style power-user curve a
+    growth dashboard reads. The (user, day) distinct frame reduces to
+    per-user day counts, then to a histogram bounded by the window
+    length (<= |days| rows at any corpus size). Output per depth:
+    days_active, n_users, pct_users_micro."""
+    e = _t(spark, sf_dir, "events")
+    per_user = (
+        e.select(
+            "user_id", F.expr(f"unix_micros(ts) div {_DAY_US}").alias("d")
+        )
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("days_active"))
+    )
+    hist = per_user.groupBy("days_active").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    tot = per_user.agg(F.count(F.lit(1)).cast("bigint").alias("nu"))
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "days_active",
+            "n_users",
+            "cast(floor(1e6 * cast(n_users as double) / cast(nu as double)"
+            " + 0.5) as bigint) AS pct_users_micro",
+        )
+        .orderBy("days_active")
+    )
+
+
+_ORACLE_ENGAGEMENT = f"""
+WITH per_user AS (
+  SELECT user_id, count(*)::BIGINT AS days_active
+  FROM (SELECT DISTINCT user_id, epoch_us(ts) // {_DAY_US} AS d FROM events)
+  GROUP BY 1
+),
+hist AS (
+  SELECT days_active, count(*)::BIGINT AS n_users FROM per_user GROUP BY 1
+),
+tot AS (SELECT count(*)::BIGINT AS nu FROM per_user)
+SELECT days_active, n_users,
+       cast(floor(1e6 * cast(n_users AS DOUBLE) / cast(nu AS DOUBLE) + 0.5)
+            AS BIGINT) AS pct_users_micro
+FROM hist, tot ORDER BY days_active
+"""
+
+
+# --------------------------------------------------------------------------
+# Discrete power-law MLE on token frequencies (X6/X7 [EXT])
+# --------------------------------------------------------------------------
+
+
+def q_powerlaw_alpha_mle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] X6/X7 Clauset-style discrete power-law MLE on the token
+    frequency spectrum: alpha_hat = 1 + n / sum ln(f_i / (fmin - 0.5))
+    over token types with frequency >= fmin={m} — the maximum-likelihood
+    companion of the shipped zipf_slope_tokens log-log regression (MLE
+    is the estimator the Clauset-Shalizi-Newman paper shows is unbiased
+    where the regression is not). Each ln is micro-snapped; the sum is
+    an exact integer. Output one row: n_tail_types, fmin,
+    alpha_milli, se_milli (asymptotic (alpha-1)/sqrt(n)).""".format(
+        m=_PL_FMIN
+    )
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(
+            F.expr(r"filter(split(lower(text), '\\s+'), t -> t <> '')")
+        ).alias("tok")
+    )
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    half = repr(_PL_FMIN - 0.5)
+    lnm = (
+        f"cast(floor(1e6 * ln(cast(c as double) / {half}) + 0.5) as bigint)"
+    )
+    agg = freq.filter(F.col("c") >= _PL_FMIN).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr(lnm)).cast("bigint").alias("sl"),
+    )
+    alpha = "(1.0 + cast(n as double) / (cast(sl as double) / 1e6))"
+    return agg.selectExpr(
+        "n AS n_tail_types",
+        f"cast({_PL_FMIN} as bigint) AS fmin",
+        f"cast(floor(1e3 * {alpha} + 0.5) as bigint) AS alpha_milli",
+        f"cast(floor(1e3 * ({alpha} - 1.0) / sqrt(cast(n as double)) + 0.5)"
+        " as bigint) AS se_milli",
+    )
+
+
+_ORACLE_POWERLAW = rf"""
+WITH tok AS (
+  SELECT t AS tok
+  FROM documents,
+       unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                          x -> x <> '')) AS u(t)
+),
+freq AS (SELECT tok, count(*)::BIGINT AS c FROM tok GROUP BY 1),
+agg AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(cast(floor(1e6 * ln(cast(c AS DOUBLE) / {_PL_FMIN - 0.5!r})
+             + 0.5) AS BIGINT))::BIGINT AS sl
+  FROM freq WHERE c >= {_PL_FMIN}
+)
+SELECT n AS n_tail_types, cast({_PL_FMIN} AS BIGINT) AS fmin,
+       cast(floor(1e3 * (1.0 + cast(n AS DOUBLE)
+            / (cast(sl AS DOUBLE) / 1e6)) + 0.5) AS BIGINT) AS alpha_milli,
+       cast(floor(1e3 * ((1.0 + cast(n AS DOUBLE)
+            / (cast(sl AS DOUBLE) / 1e6)) - 1.0)
+            / sqrt(cast(n AS DOUBLE)) + 0.5) AS BIGINT) AS se_milli
+FROM agg
+"""
+
+
+REGISTRY_EXT125: dict[str, QuerySpec] = {
+    "bucketed_join_colocate": QuerySpec(
+        q_bucketed_join_colocate, _ORACLE_BUCKETED, "S/W [EXT] bucketed join"
+    ),
+    "partition_pruned_scan": QuerySpec(
+        q_partition_pruned_scan, _ORACLE_DPP, "S [EXT] dynamic partition pruning"
+    ),
+    "simpson_diversity_lang": QuerySpec(
+        q_simpson_diversity_lang, _ORACLE_SIMPSON, "X6/X7 [EXT] inverse Simpson"
+    ),
+    "renyi_entropy_profile": QuerySpec(
+        q_renyi_entropy_profile, _ORACLE_RENYI, "X6/X7 [EXT] Renyi profile"
+    ),
+    "engagement_depth_histogram": QuerySpec(
+        q_engagement_depth_histogram, _ORACLE_ENGAGEMENT, "X9 [EXT] engagement depth"
+    ),
+    "powerlaw_alpha_mle": QuerySpec(
+        q_powerlaw_alpha_mle, _ORACLE_POWERLAW, "X6/X7 [EXT] power-law MLE"
+    ),
+}

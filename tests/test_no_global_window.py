@@ -108,6 +108,26 @@ ALLOWED_GLOBAL = {
     # VALUE CELLS (same category)
     "pot_mean_excess",
     "cucconi_test",
+    # Wave 122: midrank/score prefix walks over centi VALUE CELLS (same
+    # category); hodges_lehmann walks the value-domain-bounded DECI
+    # difference-cell frame (cells x cells, constant at any corpus size)
+    "wilcoxon_signed_rank",
+    "ansari_bradley_test",
+    "jonckheere_terpstra_trend",
+    "hodges_lehmann_shift",
+    # Wave 124: lag/prefix/rank windows over the calendar-bounded DAILY
+    # spine (same category as pettitt_changepoint/dickey_fuller); bartels
+    # additionally walks the value-cell frame (CvM category)
+    "kpss_stationarity",
+    "engle_granger_coint",
+    "permutation_entropy_daily",
+    "turning_point_test",
+    "cox_stuart_trend",
+    "bartels_rank_vonneumann",
+    # Wave 126: decile cuts off the score-cell CDF — scores snapped to
+    # whole value units, so the walked frame is bounded by the per-user
+    # activity envelope (value-cell category), not user cardinality
+    "decile_lift_table",
 }
 
 STREAM_PREFIXES = ("streaming_", "stream_")

@@ -55,6 +55,17 @@ ALLOWED_NESTED_LOOP = {
     "retrieval_eval_metrics",
     "uplift_qini_by_score",
     "kmv_set_ops",
+    # Wave 122: grouping aggregates over VALUE-DOMAIN-bounded keys feeding
+    # a constant-size cross — deci value cells (<= ~5k rows at any corpus
+    # size) for the Hodges-Lehmann pairwise-difference frame, and the 3x7
+    # shift-x-weekday enum table crossed with itself for gamma's
+    # concordance count.
+    "hodges_lehmann_shift",
+    "goodman_kruskal_gamma",
+    # Wave 126: the 3x3 agreement table's row margins crossed with its
+    # column margins (both grouping aggregates over the 3-value activity
+    # BAND domain) for weighted kappa's expected-disagreement sum.
+    "weighted_kappa_depth",
 }
 
 STREAM_PREFIXES = ("streaming_", "stream_")

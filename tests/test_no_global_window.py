@@ -27,9 +27,6 @@ variant):
   * ams_f2_sketch — the median-of-groups window runs over the sketch's
     GROUP SUMS (one row per AMS group, a fixed sketch parameter), after
     the corpus is reduced map-side into the sketch.
-  * greedy_max_coverage — the cumulative-coverage window walks the greedy
-    STEP list (K steps, a query constant), each step chosen from an
-    aggregated per-source gain frame.
   * rank_biased_overlap — row_number runs over the two LIMIT-d ranked
     lists (_RBO_D rows each, a query constant), not the corpus.
   * nelson_aalen_hazard — the cumulative-hazard window runs over the DAY
@@ -69,7 +66,9 @@ ALLOWED_GLOBAL = {
     "regression_discontinuity",
     # Waves 101-110 bounded-frame adjudications (see module docstring):
     "ams_f2_sketch",
-    "greedy_max_coverage",
+    # greedy_max_coverage was sanctioned here through round 9; its r10
+    # rewrite computes the K-step running sum driver-side (each round's
+    # 1-row winner is collected under LIMIT 1), so no window remains.
     "rank_biased_overlap",
     "nelson_aalen_hazard",
     "successive_halving_bandit",

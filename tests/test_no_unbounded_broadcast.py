@@ -101,6 +101,16 @@ ALLOWED_JOIN_MULTIPLICITY: dict[str, str] = {
 }
 
 
+#: Witness-class PREFIXES as emitted by unbounded_broadcast_hints (each
+#: witness leads with 'broadcast hint over <class> ...'). Matching the
+#: leading class marker — not substring containment — keeps the two
+#: sanction lists from absorbing each other's witness classes (ADVICE
+#: r9: a join-multiplicity witness embeds the grown child's text, which
+#: can mention LogicalRDD).
+_CKPT_WITNESS = "broadcast hint over checkpoint barrier"
+_JM_WITNESS = "broadcast hint over join-multiplicity"
+
+
 def _flagged(fn, spark) -> list[str]:
     return unbounded_broadcast_hints(fn(spark, SF))
 
@@ -120,14 +130,17 @@ def test_no_unbounded_broadcast_across_registry(spark, monkeypatch):
         except Exception as exc:  # noqa: BLE001 - report, don't mask peers
             build_errors[name] = repr(exc)[:200]
             continue
+        # Each sanction strips ONLY its own witness CLASS (leading
+        # prefix, not substring containment — ADVICE r9: a
+        # join-multiplicity witness embeds the grown child's text, so a
+        # substring match on 'LogicalRDD' would let the checkpoint
+        # sanction absorb an unsanctioned join-multiplicity witness
+        # whose growing side is checkpointed). A raw growing scan under
+        # a hint fails regardless of either sanction.
         if name in ALLOWED_CHECKPOINT:
-            # sanction covers ONLY checkpoint witnesses; a raw growing
-            # scan under a hint fails regardless
-            bad = [w for w in bad if "LogicalRDD" not in w]
+            bad = [w for w in bad if not w.startswith(_CKPT_WITNESS)]
         if name in ALLOWED_JOIN_MULTIPLICITY:
-            # sanction covers ONLY join-multiplicity witnesses; a raw
-            # growing scan under a hint fails regardless
-            bad = [w for w in bad if "join-multiplicity" not in w]
+            bad = [w for w in bad if not w.startswith(_JM_WITNESS)]
         if bad:
             offenders[name] = bad[0][:200]
     assert not build_errors, f"queries failed to build: {build_errors}"
@@ -145,7 +158,7 @@ def test_sanctioned_join_multiplicity_still_flagged(spark, monkeypatch):
     qs = registry.queries()
     for name in ALLOWED_JOIN_MULTIPLICITY:
         bad = _flagged(qs[name], spark)
-        assert any("join-multiplicity" in w for w in bad), (
+        assert any(w.startswith(_JM_WITNESS) for w in bad), (
             f"{name} no longer plans a join-multiplicity broadcast; remove "
             "it from ALLOWED_JOIN_MULTIPLICITY"
         )
@@ -159,7 +172,7 @@ def test_sanctioned_checkpoints_still_flagged(spark, monkeypatch):
     qs = registry.queries()
     for name in ALLOWED_CHECKPOINT:
         bad = _flagged(qs[name], spark)
-        assert any("LogicalRDD" in w for w in bad), (
+        assert any(w.startswith(_CKPT_WITNESS) for w in bad), (
             f"{name} no longer broadcasts a checkpointed frame; remove it "
             "from ALLOWED_CHECKPOINT"
         )

@@ -3,7 +3,16 @@ round-5..7 recurring staleness (hand-maintained audit list lagging the
 ledger) is closed mechanically: tools/explain_audit.py derives its
 section list from the committed idle ledger, and this test asserts the
 committed PLANS.md actually covers it (same sync pattern as
-tools/sync_counts.py)."""
+tools/sync_counts.py).
+
+Round-10 structural hardening (VERDICT r9 Next #1, third recurrence of
+the red-suite coupling): sections are now GENERATED at GEN_LEDGER_SEC
+(0.7s) while this test ASSERTS at SLOW_LEDGER_SEC (1.0s). The 30%
+margin means a post-round driver ledger refresh (observed ±20-25% host
+noise) cannot push an uncovered ~0.9s query over the test bar. The
+perturbation test simulates exactly that refresh: every ledger wall is
+inflated 25% and coverage must still hold at the 1.0s bar.
+"""
 
 from __future__ import annotations
 
@@ -14,19 +23,22 @@ import re
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_plans_md_covers_every_slow_ledger_query():
+def _load():
     with open(os.path.join(REPO, "BENCH_QUERIES.json")) as fh:
         ledger = json.load(fh)
     with open(os.path.join(REPO, "PLANS.md")) as fh:
         sections = set(re.findall(r"^## (\S+)", fh.read(), flags=re.M))
+    from etl_poor_main_pipeline_spark.registry import queries
 
+    return ledger, sections, set(queries())
+
+
+def test_plans_md_covers_every_slow_ledger_query():
+    ledger, sections, names = _load()
     from tools.explain_audit import SLOW_LEDGER_SEC
 
     # only queries that still exist can be audited (renames drop out of
     # the ledger at the next refresh)
-    from etl_poor_main_pipeline_spark.registry import queries
-
-    names = set(queries())
     slow = {
         n for n, w in ledger.items() if w > SLOW_LEDGER_SEC and n in names
     }
@@ -35,4 +47,30 @@ def test_plans_md_covers_every_slow_ledger_query():
         f"{len(missing)} queries above {SLOW_LEDGER_SEC:g}s idle lack a "
         f"PLANS.md section (regenerate: python tools/explain_audit.py): "
         f"{missing}"
+    )
+
+
+def test_plans_md_survives_ledger_refresh_noise():
+    """Simulated driver refresh: +25% on every wall. Any query whose
+    perturbed wall crosses the 1.0s test bar must already have a section
+    — i.e. the committed PLANS.md was generated at the 0.7s bar, not the
+    cliff edge. This is the test that would have been red in rounds 7,
+    8, and 9 before the structural fix."""
+    ledger, sections, names = _load()
+    from tools.explain_audit import GEN_LEDGER_SEC, SLOW_LEDGER_SEC
+
+    assert GEN_LEDGER_SEC <= SLOW_LEDGER_SEC * 0.75, (
+        "generation bar must sit >=25% below the test bar so driver "
+        "ledger-refresh noise cannot create uncovered queries"
+    )
+    perturbed_slow = {
+        n
+        for n, w in ledger.items()
+        if w * 1.25 > SLOW_LEDGER_SEC and n in names
+    }
+    missing = sorted(perturbed_slow - sections)
+    assert not missing, (
+        f"{len(missing)} queries would lack a PLANS.md section after a "
+        f"+25% ledger refresh (regenerate at the {GEN_LEDGER_SEC:g}s bar: "
+        f"python tools/explain_audit.py): {missing}"
     )

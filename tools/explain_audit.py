@@ -253,16 +253,25 @@ MARKERS = (
 )
 
 
-#: Every query above this idle wall (committed ledger BENCH_QUERIES.json)
-#: gets a PLANS.md section even without a hand-written annotation — the
-#: round-5..7 recurring gap was hand-list staleness; the ledger is the
-#: source of truth now (VERDICT r7 #3).
+#: Test bar: tests/test_plans_coverage.py asserts a section exists for
+#: every query above this idle wall (committed ledger BENCH_QUERIES.json).
 SLOW_LEDGER_SEC = 1.0
+
+#: Generation bar: audited_names() emits a section for every query above
+#: this LOWER wall. The 30% margin below SLOW_LEDGER_SEC means a driver
+#: ledger refresh (observed ±20-25% host noise) cannot push an uncovered
+#: ~0.9s query over the 1.0s test bar — the structural fix for the
+#: rounds-7/8/9 recurring red-suite coupling (VERDICT r9 Next #1: the
+#: cliff-edge single bar broke the suite three rounds running because the
+#: driver refreshes BENCH_QUERIES.json after the round ends).
+GEN_LEDGER_SEC = 0.7
 
 
 def audited_names() -> list[tuple[str, str]]:
-    """Hand-annotated queries first (stable order), then every >1s ledger
-    query not already hand-annotated, auto-annotated from its wall."""
+    """Hand-annotated queries first (stable order), then every ledger
+    query above GEN_LEDGER_SEC not already hand-annotated, auto-annotated
+    from its wall (generation bar sits 30% below the test bar so ledger
+    refresh noise cannot create uncovered >1s queries)."""
     import json
     import os
 
@@ -275,12 +284,13 @@ def audited_names() -> list[tuple[str, str]]:
     except OSError:
         return entries
     for name, wall in sorted(ledger.items(), key=lambda kv: -kv[1]):
-        if wall > SLOW_LEDGER_SEC and name not in have:
+        if wall > GEN_LEDGER_SEC and name not in have:
             entries.append(
                 (
                     name,
                     f"auto-audited: {wall:.2f}s in the committed idle ledger "
-                    f"(every >{SLOW_LEDGER_SEC:g}s query gets a section)",
+                    f"(every >{GEN_LEDGER_SEC:g}s query gets a section; test "
+                    f"bar {SLOW_LEDGER_SEC:g}s)",
                 )
             )
             have.add(name)
@@ -306,8 +316,10 @@ def main() -> None:
         "exchange count, codegen coverage, and any Python in the row path.",
         "",
         "Coverage: every hand-annotated headline query PLUS every query",
-        f"above {SLOW_LEDGER_SEC:g}s in the committed idle ledger",
-        "(BENCH_QUERIES.json) — asserted by tests/test_plans_coverage.py.",
+        f"above {GEN_LEDGER_SEC:g}s in the committed idle ledger",
+        f"(BENCH_QUERIES.json); tests/test_plans_coverage.py asserts at the",
+        f"{SLOW_LEDGER_SEC:g}s bar, so the 30% margin absorbs driver-refresh",
+        "noise.",
         "",
     ]
     for name, why in audited_names():

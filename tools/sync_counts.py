@@ -90,9 +90,13 @@ def check_ab_prose(n_q: int) -> list[str]:
 def main() -> int:
     check = "--check" in sys.argv
     n_q, n_o, n_t = live_counts()
-    for msg in check_ab_prose(n_q):
+    # report EVERY drift message and still perform the count rewrite
+    # below (ADVICE r9: returning inside the loop printed only the first
+    # message and skipped the README/MIGRATION rewrite entirely in write
+    # mode, making the tool fail instead of syncing what it can)
+    ab_drift = check_ab_prose(n_q)
+    for msg in ab_drift:
         print(f"A/B prose drift: {msg}")
-        return 1
     stale = []
     for name in ("README.md", "MIGRATION.md"):
         f = REPO / name
@@ -109,6 +113,8 @@ def main() -> int:
                 print(f"{name} rewritten: {n_q} queries, {n_o} oracles, {n_t} tests")
     if check and stale:
         print(f"stale counts in {stale}; run python tools/sync_counts.py")
+        return 1
+    if ab_drift:
         return 1
     print(f"counts in sync: {n_q} queries, {n_o} oracles, {n_t} tests")
     return 0

@@ -104,6 +104,19 @@ def main() -> None:
     except Exception as exc:
         print(f"bench: layout warm-up skipped: {exc}", file=sys.stderr)
 
+    # Host-health stamp (VERDICT r9 #2): the measured no-op job floor
+    # (min of 3 `spark.range(10).count()` walls) recorded alongside the
+    # ledger, so downstream consumers can tell a degraded host (steal-
+    # inflated walls) from a plan regression — the r9 committed ledger
+    # was silently ~28% pessimistic because it was re-baselined under
+    # 1.3-1.5x hypervisor steal.
+    floor_runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(10).count()
+        floor_runs.append(round(time.perf_counter() - t0, 4))
+    floor_sec = min(floor_runs)
+
     MIN2_THRESHOLD_SEC = 0.3  # re-run + take min above this
     # clearCache + GC after queries above this. Kept at 2.0: a round-8
     # experiment at 1.0 made the ledger WORSE (339s vs 291s total) — each
@@ -167,6 +180,24 @@ def main() -> None:
         "dickey_fuller_unit_root",
         "granger_causality_hourly",
         "mood_median_test",
+        # round-10 waves 127-135: the same chained-reduction class (3-6
+        # stacked reduces / unrolled iteration rounds / token self-joins)
+        # that inflates 7-15x late in the marathon — settled-head them
+        # from the start rather than rediscovering the r9 defect.
+        "raking_ipf",
+        "cox_ph_newton_1cov",
+        "rmst_survival",
+        "aalen_johansen_cif",
+        "quade_test",
+        "distance_correlation",
+        "bray_curtis_sources",
+        "morisita_horn_overlap",
+        "chao2_richness",
+        "jackknife_richness",
+        "truncation_content_drift",
+        "gehan_breslow_wilcoxon",
+        "stuart_maxwell_test",
+        "breslow_day_homogeneity",
     ]
     ordered = [(n, qs[n]) for n in HEAVY_FIRST if n in qs]
     ordered += [(n, fn) for n, fn in qs.items() if n not in HEAVY_FIRST]
@@ -230,6 +261,19 @@ def main() -> None:
     sidecar = os.path.join(REPO, "BENCH_QUERIES.json")
     with open(sidecar, "w") as fh:
         json.dump(timings, fh, sort_keys=True)
+    # host-health sidecar: consumers of the committed ledger normalize
+    # against the floor measured in the SAME session the walls were
+    with open(os.path.join(REPO, "BENCH_HOST.json"), "w") as fh:
+        json.dump(
+            {
+                "floor_sec": floor_sec,
+                "floor_runs": floor_runs,
+                "total_sec": total,
+                "n_queries": len(timings),
+                "wall_clock": time.time(),
+            },
+            fh,
+        )
     headline = [
         "flagship_silver_shape",
         "tpch_q1_pricing_summary",
@@ -251,6 +295,7 @@ def main() -> None:
                 "n_failed": sum(1 for t in timings.values() if t < 0),
                 "queries_file": sidecar,
                 "fastpath": fastpath_on,
+                "floor_sec": floor_sec,
                 "meta": (
                     "per-query wall (plan+execute+count) after JVM warm-up; "
                     "size-derived small-input posture (AQE off + right-sized "

@@ -1708,6 +1708,15 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext124 import REGISTRY_EXT124
     from .registry_ext125 import REGISTRY_EXT125
     from .registry_ext126 import REGISTRY_EXT126
+    from .registry_ext127 import REGISTRY_EXT127
+    from .registry_ext128 import REGISTRY_EXT128
+    from .registry_ext129 import REGISTRY_EXT129
+    from .registry_ext130 import REGISTRY_EXT130
+    from .registry_ext131 import REGISTRY_EXT131
+    from .registry_ext132 import REGISTRY_EXT132
+    from .registry_ext133 import REGISTRY_EXT133
+    from .registry_ext134 import REGISTRY_EXT134
+    from .registry_ext135 import REGISTRY_EXT135
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1835,6 +1844,15 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT124)
     merged.update(REGISTRY_EXT125)
     merged.update(REGISTRY_EXT126)
+    merged.update(REGISTRY_EXT127)
+    merged.update(REGISTRY_EXT128)
+    merged.update(REGISTRY_EXT129)
+    merged.update(REGISTRY_EXT130)
+    merged.update(REGISTRY_EXT131)
+    merged.update(REGISTRY_EXT132)
+    merged.update(REGISTRY_EXT133)
+    merged.update(REGISTRY_EXT134)
+    merged.update(REGISTRY_EXT135)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

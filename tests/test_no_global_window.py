@@ -127,6 +127,39 @@ ALLOWED_GLOBAL = {
     # whole value units, so the walked frame is bounded by the per-user
     # activity envelope (value-cell category), not user cardinality
     "decile_lift_table",
+    # Wave 127: the n_t-weighted log-rank's suffix walk over
+    # calendar-bounded duration-day cells (same sanctioned cell-walk
+    # category as log_rank_survival)
+    "gehan_breslow_wilcoxon",
+    # Wave 128: Lorenz prefix / top-share suffix walks over DECI-UNIT
+    # per-user total cells — bounded by the per-user activity envelope
+    # (the decile_lift_table sanction category), not user cardinality
+    "lorenz_curve_deciles",
+    "top_share_percentiles",
+    # Wave 130: risk-set suffix walks + KM ln-prefix walks over the
+    # calendar-bounded duration-day spine (the log_rank_survival
+    # sanction category); rmst partitions its walks by cohort.
+    # cox_ph_newton_1cov shares the same walk but localCheckpoints the
+    # ~60-row day-cell frame before its Newton loop, so the returned
+    # plan shows LogicalRDD instead of the Window — no sanction entry
+    # (the staleness check below would flag one as stale).
+    "aalen_johansen_cif",
+    "schoenfeld_ph_check",
+    # Wave 133: lag/lead windows over the calendar-bounded DAILY spine
+    # (same category as pettitt_changepoint/dickey_fuller).
+    # sample_entropy_daily shares the category but localCheckpoints its
+    # template frame before the pair join, so the returned plan shows
+    # LogicalRDD instead of the Window — no sanction entry (the
+    # staleness check below would flag one as stale, as it did for
+    # cox_ph_newton_1cov).
+    "diebold_mariano",
+    "theil_u2_forecast",
+    # Wave 134: midrank prefix walk over CENTI deviation cells (CvM
+    # category) and the decile cut off the MILLI score-cell CDF
+    # (decile_lift_table category — score domain <= 1001 cells by
+    # construction)
+    "conover_squared_ranks",
+    "hosmer_lemeshow_gof",
 }
 
 STREAM_PREFIXES = ("streaming_", "stream_")

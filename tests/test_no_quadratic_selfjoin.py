@@ -66,6 +66,20 @@ ALLOWED_NESTED_LOOP = {
     # column margins (both grouping aggregates over the 3-value activity
     # BAND domain) for weighted kappa's expected-disagreement sum.
     "weighted_kappa_depth",
+    # Wave 127: the 7-row weekday-block range frame crossed with itself
+    # for Quade's block-weight midranks — 7x7 = 49 pairs, ENUM-bounded
+    # at any corpus size.
+    "quade_test",
+    # Wave 133: the SampEn template frame (one row per day minus 2)
+    # self-joined on d < d' — days^2 pairs, calendar-bounded at any
+    # corpus size.
+    "sample_entropy_daily",
+    # Wave 134: joint (deca-value x hour) / unit-value cell frames
+    # crossed with themselves for the V-statistic and kernel pair sums —
+    # both value-domain-bounded (<= ~1.2k / ~500 cells at any corpus
+    # size; the hodges_lehmann category).
+    "distance_correlation",
+    "mmd_rbf_2samp",
 }
 
 STREAM_PREFIXES = ("streaming_", "stream_")

@@ -1717,6 +1717,10 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext133 import REGISTRY_EXT133
     from .registry_ext134 import REGISTRY_EXT134
     from .registry_ext135 import REGISTRY_EXT135
+    from .registry_ext136 import REGISTRY_EXT136
+    from .registry_ext137 import REGISTRY_EXT137
+    from .registry_ext138 import REGISTRY_EXT138
+    from .registry_ext139 import REGISTRY_EXT139
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1853,6 +1857,10 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT133)
     merged.update(REGISTRY_EXT134)
     merged.update(REGISTRY_EXT135)
+    merged.update(REGISTRY_EXT136)
+    merged.update(REGISTRY_EXT137)
+    merged.update(REGISTRY_EXT138)
+    merged.update(REGISTRY_EXT139)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

@@ -160,6 +160,26 @@ ALLOWED_GLOBAL = {
     # construction)
     "conover_squared_ranks",
     "hosmer_lemeshow_gof",
+    # Wave 136: median/MAD/quartile CDF walks over CENTI/UNIT value
+    # cells and the rank-select walks over pair-difference / kernel
+    # cells — all value-domain-bounded (CvM / hodges_lehmann categories)
+    "huber_m_location",
+    "tukey_biweight_location",
+    "qn_scale_estimator",
+    "medcouple_skewness",
+    # Wave 138: the final rank runs over the <= 5-row event-type ENUM
+    # score frame (the successive_halving_bandit category)
+    "katz_centrality_types",
+    # Wave 139: the hockey-stick rank-sum walk runs over CENTI value
+    # cells (CvM category); huber/biweight/expectile/weibull checkpoint
+    # their cell frames, so only lmoments keeps a visible Window
+    "lmoments_profile",
+    # Wave 137's curriculum_pacing_plan cuts deciles off the
+    # token-count cell CDF (document-length-DOMAIN bounded) but
+    # localCheckpoints the decile frame before the phase cross, so the
+    # returned plan shows LogicalRDD instead of the Window — no sanction
+    # entry (the staleness check below flags one as stale, as with
+    # cox_ph_newton_1cov / sample_entropy_daily).
 }
 
 STREAM_PREFIXES = ("streaming_", "stream_")

@@ -80,6 +80,13 @@ ALLOWED_NESTED_LOOP = {
     # size; the hodges_lehmann category).
     "distance_correlation",
     "mmd_rbf_2samp",
+    # Wave 136: UNIT value cells triangularly self-joined for the Qn
+    # pairwise-difference frame — value-domain-bounded (<= ~500 cells;
+    # the hodges_lehmann category). medcouple_skewness shares the shape
+    # but its kernel join carries the broadcast cuts frame, which the
+    # detector sizes as a bounded side — no sanction entry needed (the
+    # staleness check below flags one as stale).
+    "qn_scale_estimator",
 }
 
 STREAM_PREFIXES = ("streaming_", "stream_")

@@ -12,14 +12,14 @@ headline subset ~-35% with identical results.
 BUT the posture is not free for EVERY plan. Round 7 shipped it
 process-wide with an unsubstantiated "no query regresses" claim; round 8
 replaced the claim with measurement: tools/ab_fastpath.py ran the FULL
-584-query registry posture-ON vs posture-OFF back-to-back on an idle host
+602-query registry posture-ON vs posture-OFF back-to-back on an idle host
 (committed as AB_FASTPATH.json + the "fastpath A/B" table in RATIO.md).
 Result: the posture wins or ties on the overwhelming majority — including
 the iterative graph/dedup pipelines (pagerank 5.3s -> 3.2s, minhash-LSH
 4.9s -> 3.4s) — 2 queries regress >1.5x (bradley_terry_strengths 3.9x,
-collocation_llr_bigrams 1.6x) and 8 total show >=1.28x regressions
+collocation_llr_bigrams 1.6x) and 9 total show >=1.28x regressions
 where repeated tiny-frame joins rely on AQE's partition coalescing and
-runtime broadcast demotion; those eight are :data:`AQE_KEEP_QUERIES`
+runtime broadcast demotion; those nine are :data:`AQE_KEEP_QUERIES`
 (raking_ipf joined in round 10 at 1.85x postured).
 The harnesses (bench.py, tools/scaling.py) skip the posture for them and
 tests/test_fastpath.py asserts the list stays consistent with the
@@ -172,7 +172,7 @@ def small_input_shuffle_partitions(nbytes: int) -> int:
 
 #: Queries MEASURED to run slower under the small-input posture in the
 #: committed full-registry idle A/B (tools/ab_fastpath.py ->
-#: AB_FASTPATH.json / RATIO.md "fastpath A/B"). All eight iterate joins
+#: AB_FASTPATH.json / RATIO.md "fastpath A/B"). All nine iterate joins
 #: or walks over tiny derived frames, where AQE's stage coalescing and
 #: runtime broadcast demotion beat any static plan:
 #:   bradley_terry_strengths  1.206s -> 4.755s (3.94x) — 3-round MM loop
@@ -183,6 +183,7 @@ def small_input_shuffle_partitions(nbytes: int) -> int:
 #:   energy_distance_2samp    0.516s -> 0.689s (1.34x) — cell prefix walk
 #:   anova_two_way            0.775s -> 0.993s (1.28x) — cell-grid joins
 #:   raking_ipf               1.469s -> 2.723s (1.85x) — 3 IPF sweeps
+#:   closeness_centrality_types 0.843s -> 1.433s (1.7x) — min-plus rounds
 #: Harnesses keep AQE (skip the posture) for these names.
 #: tests/test_fastpath.py asserts two-way consistency with the committed
 #: A/B: every measured >1.5x regression is listed here, and every listed
@@ -203,6 +204,9 @@ AQE_KEEP_QUERIES = frozenset(
         # checkpointed 35-cell frame — AQE's coalescing halves the
         # per-round shuffle fan-out (A/B: off 1.47s on 2.72s, 1.85x)
         "raking_ipf",
+        # wave-138 min-plus closure: 3 relaxation rounds of tiny-frame
+        # joins over the 25-cell adjacency (A/B: off 0.84s on 1.43s, 1.7x)
+        "closeness_centrality_types",
     }
 )
 

@@ -167,6 +167,9 @@ ALLOWED_GLOBAL = {
     "tukey_biweight_location",
     "qn_scale_estimator",
     "medcouple_skewness",
+    # Wave 140: HAC lag windows over the calendar-bounded DAILY spine
+    # (the pettitt/dickey_fuller category)
+    "trend_ols_newey_west",
     # Wave 138: the final rank runs over the <= 5-row event-type ENUM
     # score frame (the successive_halving_bandit category)
     "katz_centrality_types",

@@ -281,6 +281,11 @@ def main() -> None:
         "tpch_q5_star_join",
         "dedup_minhash_lsh",
         "similarity_topk_cosine",
+        # scale-viable ANN tier leads the similarity story (VERDICT r10
+        # Next #4): IVF's measured crossover is 12.9x -> 0.6x across
+        # x4 -> x64 (SCALING.md); the exact tier above stays as the
+        # documented oracle-able counterexample (flat ~30x)
+        "similarity_ivf_topk",
         "text_tf_idf",
         "sessionization_gap30m",
     ]

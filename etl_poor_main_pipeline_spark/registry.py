@@ -13,9 +13,12 @@ that make the driver's hash compare deterministic (SURVEY §7.5):
 - LIMIT queries carry a total tiebreak order; timestamps leave as strings;
 - integer outputs cast to bigint (DuckDB counts are BIGINT).
 
-Oracle-less entries (``oracle=None``) are approximate/stateful operators
-(MinHash-LSH, SimHash, IVF) — the driver records rows-only checks and the
-exact twins (jaccard pairs, brute-force top-k) cover the semantics.
+Every registered query has an oracle — zero ``oracle=None`` entries.
+Approximate/stateful operators (MinHash-LSH, SimHash, IVF, streaming)
+were given deterministic twins in rounds 5–8: seeds are fixed, tie-breaks
+are total, and the DuckDB SQL replays the same arithmetic, so even the
+"approximate" families hash-match exactly. ``tools/sync_counts.py``
+asserts this claim against the live registry (no-oracle count == 0).
 """
 
 from __future__ import annotations

@@ -68,7 +68,6 @@ def q_cluster_robust_se(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").cast("bigint").alias("sx"),
         F.sum("y").cast("bigint").alias("sy"),
         F.sum(F.expr("x * y")).cast("bigint").alias("sxy"),
-        F.sum(F.expr(f"{_DEC.format(x='y')} * y")).alias("qy"),
     )
     nn = "cast(n as double)"
     # binary x: sxx = sx, b = cov/var closed form
@@ -167,7 +166,7 @@ WITH base AS (
 ),
 m AS (
   SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
-         sum(x * y)::BIGINT AS sxy, sum(y::HUGEINT * y) AS qy
+         sum(x * y)::BIGINT AS sxy
   FROM base
 ),
 coef AS (
@@ -335,15 +334,13 @@ FROM red
 
 def q_trend_ols_newey_west(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] X7 daily-trend OLS with Newey-West (1987) HAC standard
-    errors (Bartlett weights, {l} lags): the slope of the daily total
-    value on the day index is serially correlated, so the i.i.d. SE
-    understates uncertainty; the HAC long-run variance
+    errors (Bartlett weights, 2 lags — see _NW_LAGS): the slope of the
+    daily total value on the day index is serially correlated, so the
+    i.i.d. SE understates uncertainty; the HAC long-run variance
     sum_l w_l * gamma_l of the score v_t = x~_t * e_t fixes it (lag
     sums are windows over the calendar-bounded spine). Coefficients
     micro-snap before the residual pass. Output one row: n_days,
-    slope_milli_per_day, se_ols_milli, se_nw_milli, z_milli.""".format(
-        l=_NW_LAGS
-    )
+    slope_milli_per_day, se_ols_milli, se_nw_milli, z_milli."""
     e = _t(spark, sf_dir, "events")
     daily = (
         e.select(
@@ -371,7 +368,6 @@ def q_trend_ols_newey_west(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("t * t")).cast("bigint").alias("stt"),
         F.sum("y").cast("bigint").alias("sy"),
         F.sum(F.expr(f"{_DEC.format(x='t')} * y")).alias("sty"),
-        F.sum(F.expr(f"{_DEC.format(x='y')} * y")).alias("syy"),
     )
     nn = "cast(n as double)"
     sxx = f"({nn} * cast(stt as double) - cast(st as double) * cast(st as double))"

@@ -258,13 +258,14 @@ MARKERS = (
 SLOW_LEDGER_SEC = 1.0
 
 #: Generation bar: audited_names() emits a section for every query above
-#: this LOWER wall. The 30% margin below SLOW_LEDGER_SEC means a driver
-#: ledger refresh (observed ±20-25% host noise) cannot push an uncovered
-#: ~0.9s query over the 1.0s test bar — the structural fix for the
-#: rounds-7/8/9 recurring red-suite coupling (VERDICT r9 Next #1: the
-#: cliff-edge single bar broke the suite three rounds running because the
-#: driver refreshes BENCH_QUERIES.json after the round ends).
-GEN_LEDGER_SEC = 0.7
+#: this LOWER wall. It sits below SLOW_LEDGER_SEC / 1.25**2 ≈ 0.64s so
+#: that even a +25% driver ledger refresh of a query measured just under
+#: the generation bar cannot cross the PERTURBED test bar
+#: (0.55 × 1.25 × 1.25 ≈ 0.86 < 1.0) — the round-11 structural fix for
+#: the rounds-7/8/9/10 recurring red-suite coupling (VERDICT r10 Next
+#: #1: the 0.7s bar protected the 1.0s coverage test but left the +25%
+#: perturbation test exposed to refreshes of 0.64–0.70s walls).
+GEN_LEDGER_SEC = 0.55
 
 
 def audited_names() -> list[tuple[str, str]]:

@@ -96,6 +96,15 @@ QUERIES = [
     "union_all",
     "window_lag_lead",
     "agg_stats",
+    # round-11 (VERDICT r10 Next #3): representatives of the wave-127-140
+    # cell-walk / IRLS shapes whose docstrings argue constant-size cell
+    # frames at any corpus — measure that the Spark walls are flat
+    "cox_ph_newton_1cov",
+    "rmst_survival",
+    "huber_m_location",
+    "distance_correlation",
+    "cluster_robust_se",
+    "raking_ipf",
 ]
 
 

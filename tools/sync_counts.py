@@ -23,9 +23,20 @@ REPO = Path(__file__).resolve().parent.parent
 
 def live_counts() -> tuple[int, int, int]:
     sys.path.insert(0, str(REPO))
+    import etl_poor_main_pipeline_spark.registry as reg
     from etl_poor_main_pipeline_spark.registry import oracle_sql, queries
 
     n_q, n_o = len(queries()), len(oracle_sql())
+    # VERDICT r10 Next #5: the module docstring claims every entry has an
+    # oracle; assert it here so prose can't drift from the registry again
+    assert n_q == n_o, (
+        f"registry docstring claims zero oracle-less entries but "
+        f"{n_q - n_o} queries lack oracles"
+    )
+    assert "zero ``oracle=None`` entries" in (reg.__doc__ or ""), (
+        "registry.py docstring no longer states the every-query-has-an-"
+        "oracle invariant; restore it or update this check"
+    )
     out = subprocess.run(
         [sys.executable, "-m", "pytest", "tests/", "--collect-only", "-q"],
         cwd=REPO, capture_output=True, text=True, check=True,

@@ -1725,6 +1725,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext138 import REGISTRY_EXT138
     from .registry_ext139 import REGISTRY_EXT139
     from .registry_ext140 import REGISTRY_EXT140
+    from .registry_ext141 import REGISTRY_EXT141
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1866,6 +1867,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT138)
     merged.update(REGISTRY_EXT139)
     merged.update(REGISTRY_EXT140)
+    merged.update(REGISTRY_EXT141)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

@@ -1726,6 +1726,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext139 import REGISTRY_EXT139
     from .registry_ext140 import REGISTRY_EXT140
     from .registry_ext141 import REGISTRY_EXT141
+    from .registry_ext142 import REGISTRY_EXT142
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1868,6 +1869,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT139)
     merged.update(REGISTRY_EXT140)
     merged.update(REGISTRY_EXT141)
+    merged.update(REGISTRY_EXT142)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

@@ -1727,6 +1727,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext140 import REGISTRY_EXT140
     from .registry_ext141 import REGISTRY_EXT141
     from .registry_ext142 import REGISTRY_EXT142
+    from .registry_ext143 import REGISTRY_EXT143
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1870,6 +1871,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT140)
     merged.update(REGISTRY_EXT141)
     merged.update(REGISTRY_EXT142)
+    merged.update(REGISTRY_EXT143)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

@@ -1728,6 +1728,8 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext141 import REGISTRY_EXT141
     from .registry_ext142 import REGISTRY_EXT142
     from .registry_ext143 import REGISTRY_EXT143
+    from .registry_ext144 import REGISTRY_EXT144
+    from .registry_ext145 import REGISTRY_EXT145
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1872,6 +1874,8 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT141)
     merged.update(REGISTRY_EXT142)
     merged.update(REGISTRY_EXT143)
+    merged.update(REGISTRY_EXT144)
+    merged.update(REGISTRY_EXT145)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

@@ -177,6 +177,18 @@ ALLOWED_GLOBAL = {
     # cells (CvM category); huber/biweight/expectile/weibull checkpoint
     # their cell frames, so only lmoments keeps a visible Window
     "lmoments_profile",
+    # Wave 143: Western Electric lag windows over the checkpointed
+    # calendar-bounded DAILY spine (the pettitt/dickey_fuller category)
+    "western_electric_rules",
+    # Wave 144: risk-set suffix walks / survival ln-prefix walks over
+    # calendar-bounded duration-day or week cells (the
+    # log_rank_survival sanction category); the walked frames are
+    # localCheckpointed but the walks themselves sit above the
+    # checkpoint and stay visible
+    "tarone_ware_test",
+    "peto_peto_test",
+    "actuarial_life_table",
+    "km_greenwood_ci",
     # Wave 137's curriculum_pacing_plan cuts deciles off the
     # token-count cell CDF (document-length-DOMAIN bounded) but
     # localCheckpoints the decile frame before the phase cross, so the

@@ -1733,6 +1733,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext146 import REGISTRY_EXT146
     from .registry_ext147 import REGISTRY_EXT147
     from .registry_ext148 import REGISTRY_EXT148
+    from .registry_ext149 import REGISTRY_EXT149
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1882,6 +1883,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT146)
     merged.update(REGISTRY_EXT147)
     merged.update(REGISTRY_EXT148)
+    merged.update(REGISTRY_EXT149)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

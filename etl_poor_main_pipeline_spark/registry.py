@@ -1735,6 +1735,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext148 import REGISTRY_EXT148
     from .registry_ext149 import REGISTRY_EXT149
     from .registry_ext150 import REGISTRY_EXT150
+    from .registry_ext151 import REGISTRY_EXT151
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1886,6 +1887,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT148)
     merged.update(REGISTRY_EXT149)
     merged.update(REGISTRY_EXT150)
+    merged.update(REGISTRY_EXT151)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

@@ -383,8 +383,11 @@ def q_krippendorff_alpha_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
             rm.alias("b"),
             (F.col("a.u") == F.col("b.u")) & (F.col("a.c") != F.col("b.c")),
         )
+        # no explicit broadcast hint: dist sits behind a checkpoint
+        # (LogicalRDD) whose cardinality the broadcast guard can't bound;
+        # the frame is provably 25 rows and AQE broadcasts it on its own
         .join(
-            F.broadcast(dist.selectExpr("va", "vb", "d2s")),
+            dist.selectExpr("va", "vb", "d2s"),
             (F.col("a.v") == F.col("va")) & (F.col("b.v") == F.col("vb")),
         )
         .agg(

@@ -189,6 +189,9 @@ ALLOWED_GLOBAL = {
     "peto_peto_test",
     "actuarial_life_table",
     "km_greenwood_ci",
+    # Wave 151: AR(2) lag window over the checkpointed calendar-bounded
+    # DAILY spine (the pettitt/dickey_fuller category)
+    "ar2_yule_walker_forecast",
     # Wave 137's curriculum_pacing_plan cuts deciles off the
     # token-count cell CDF (document-length-DOMAIN bounded) but
     # localCheckpoints the decile frame before the phase cross, so the

@@ -1736,6 +1736,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext149 import REGISTRY_EXT149
     from .registry_ext150 import REGISTRY_EXT150
     from .registry_ext151 import REGISTRY_EXT151
+    from .registry_ext152 import REGISTRY_EXT152
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1888,6 +1889,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT149)
     merged.update(REGISTRY_EXT150)
     merged.update(REGISTRY_EXT151)
+    merged.update(REGISTRY_EXT152)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

@@ -108,12 +108,12 @@ GROUP BY bucket ORDER BY bucket
 
 
 def q_dataloader_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[EXT] X8 hash-shard balance: split documents across {w} workers
+    """[EXT] X8 hash-shard balance: split documents across 8 workers
     by doc_id hash residue and report per-shard docs/tokens plus each
     shard's straggler ratio (shard tokens / mean shard tokens) — the
     imbalance that sets epoch wall-clock, since the slowest shard
-    gates the barrier. Output per shard: shard, n_docs, tokens,
-    straggler_ratio_micro.""".format(w=_N_SHARDS)
+    gates the barrier (workers = _N_SHARDS = 8). Output per shard:
+    shard, n_docs, tokens, straggler_ratio_micro."""
     d = _t(spark, sf_dir, "documents")
     # shard = md5 first hex digit mod workers — engine-identical (the
     # stratified_sample_md5 idiom; xxhash64/hash() differ across engines)
@@ -175,13 +175,13 @@ FROM per, tot ORDER BY shard
 
 
 def q_best_of_n_quality_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[EXT] X8 best-of-{n} selection: group documents into
-    consecutive {n}-tuples (doc_id div {n}) and compare the mean of
+    """[EXT] X8 best-of-N selection: group documents into
+    consecutive N-tuples (doc_id div N) and compare the mean of
     the per-group MAX quality proxy (n_chars) against the overall
     mean — the rejection-sampling yield: how much quality one buys by
-    generating {n} and keeping the best. Only full groups count.
-    Output one row: n_groups, mean_all_milli, mean_best_milli,
-    gain_pct_micro.""".format(n=_BON_N)
+    generating N and keeping the best (N = _BON_N = 4). Only full
+    groups count. Output one row: n_groups, mean_all_milli,
+    mean_best_milli, gain_pct_micro."""
     d = _t(spark, sf_dir, "documents")
     g = (
         d.selectExpr(f"doc_id div {_BON_N} AS grp", "n_chars")
@@ -242,12 +242,13 @@ FROM m
 
 def q_gradient_accumulation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] X8 accumulation planner: for each pow-2 length bucket,
-    how many docs fit one {m}-token micro-batch (pad-to-bucket), how
+    how many docs fit one 4096-token micro-batch (pad-to-bucket), how
     many micro-batches the bucket's corpus fills, and how many
-    accumulation steps reach the {g}-token global batch — the table
-    that turns a length histogram into a launch config. Output per
-    bucket: bucket, n_docs, docs_per_microbatch, n_microbatches,
-    accum_steps.""".format(m=_MB_TOKENS, g=_GLOBAL_TOKENS)
+    accumulation steps reach the 65536-token global batch — the table
+    that turns a length histogram into a launch config (micro-batch
+    4096 tokens, global batch 65536 — _MB_TOKENS/_GLOBAL_TOKENS).
+    Output per bucket: bucket, n_docs, docs_per_microbatch,
+    n_microbatches, accum_steps."""
     d = _t(spark, sf_dir, "documents")
     toks = d.selectExpr(f"{_TOKN} AS n").selectExpr(
         f"{_bucket_case('n')} AS bucket"

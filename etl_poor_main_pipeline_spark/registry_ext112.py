@@ -60,7 +60,7 @@ def q_hellinger_drift_2samp(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-snapped (sqrt is correctly-rounded IEEE on both engines, so
     the snap only fixes SUM order), H = sqrt(1 - BC). Output one row:
     n_a, n_b, n_cells, bc_micro, hellinger_micro, bhat_dist_micro
-    (-ln BC, micro-snapped).""".format(a=_HD_A, b=_HD_B)
+    (-ln BC, micro-snapped)."""
     e = _t(spark, sf_dir, "events").filter(F.col("event_type").isin(_HD_A, _HD_B))
     cells = (
         e.select(
@@ -155,7 +155,7 @@ def q_did_effect_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal-staged value sums; cell means snap to the micro grid and
     DiD = (treat_post - treat_pre) - (ctrl_post - ctrl_pre) is then
     EXACT integer arithmetic. Output one row: the four cell counts, the
-    four micro means, did_micro.""".format(t=_DID_TREAT, c=_DID_CTRL)
+    four micro means, did_micro."""
     e = _t(spark, sf_dir, "events").filter(
         F.col("event_type").isin(_DID_TREAT, _DID_CTRL)
     )
@@ -461,3 +461,11 @@ REGISTRY_EXT112: dict[str, QuerySpec] = {
         q_theil_index_decomposition, _ORACLE_THEIL, "X6 [EXT] Theil decomposition"
     ),
 }
+
+
+# A bare string literal followed by .format() is an expression,
+# not a docstring (__doc__ was silently None) — re-apply the
+# parameterization on the real docstrings (VERDICT r10 ADVICE #1,
+# whole-class fix):
+q_hellinger_drift_2samp.__doc__ = q_hellinger_drift_2samp.__doc__.format(a=_HD_A, b=_HD_B)  # noqa: E501
+q_did_effect_estimator.__doc__ = q_did_effect_estimator.__doc__.format(t=_DID_TREAT, c=_DID_CTRL)  # noqa: E501

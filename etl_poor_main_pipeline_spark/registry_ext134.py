@@ -61,9 +61,7 @@ def q_distance_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean row-product, S3 the product of mean distances; dVar applies
     the same identity to one margin. All sums are exact integers over
     the bounded joint-cell frame. Output one row: n_events, n_cells,
-    dcov2_micro, dvarx_micro, dvary_micro, dcor_milli.""".format(
-        b=_DCOR_BIN
-    )
+    dcov2_micro, dvarx_micro, dvary_micro, dcor_milli."""
     e = _t(spark, sf_dir, "events")
     cells = (
         e.select(
@@ -213,7 +211,7 @@ def q_mmd_rbf_2samp(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join) and weights by exact cohort counts — the kernel-space
     companion of energy_distance_2samp (which uses |d| in place of
     exp). Output one row: n_a, n_b, kaa_micro, kbb_micro, kab_micro,
-    mmd2_micro.""".format(a=_MMD_A, b=_MMD_B, s=_MMD_SIGMA)
+    mmd2_micro."""
     e = _t(spark, sf_dir, "events").filter(
         F.col("event_type").isin(_MMD_A, _MMD_B)
     )
@@ -318,9 +316,7 @@ def q_conover_squared_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     moments — the variance companion of ansari_bradley_test (which
     scores from the ends in). Doubled midranks keep everything integer;
     4th-power moments stage through decimal(38,0). Output one row:
-    n_a, n_b, t4 (4*T), z_milli, reject_05.""".format(
-        a=_CSR_A, b=_CSR_B
-    )
+    n_a, n_b, t4 (4*T), z_milli, reject_05."""
     e = _t(spark, sf_dir, "events").filter(
         F.col("event_type").isin(_CSR_A, _CSR_B)
     )
@@ -450,9 +446,7 @@ def q_hosmer_lemeshow_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
     chi2 = sum_g (O_g - E_g)^2 / (E_g * (1 - E_g/n_g)) with E_g the
     exact milli-sum of scores. df = {g}-2. A failing HL says the score
     needs recalibration (platt_calibration_newton is the fix). Output
-    one row: n, n_groups, chi2_milli, reject_05.""".format(
-        ev=_HL_EVENT, g=_HL_G
-    )
+    one row: n, n_groups, chi2_milli, reject_05."""
     e = _t(spark, sf_dir, "events")
     mom = e.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
@@ -600,3 +594,13 @@ REGISTRY_EXT134: dict[str, QuerySpec] = {
         q_hosmer_lemeshow_gof, _oracle_hl(), "X7 [EXT] Hosmer-Lemeshow"
     ),
 }
+
+
+# A bare string literal followed by .format() is an expression,
+# not a docstring (__doc__ was silently None) — re-apply the
+# parameterization on the real docstrings (VERDICT r10 ADVICE #1,
+# whole-class fix):
+q_distance_correlation.__doc__ = q_distance_correlation.__doc__.format(b=_DCOR_BIN)  # noqa: E501
+q_mmd_rbf_2samp.__doc__ = q_mmd_rbf_2samp.__doc__.format(a=_MMD_A, b=_MMD_B, s=_MMD_SIGMA)  # noqa: E501
+q_conover_squared_ranks.__doc__ = q_conover_squared_ranks.__doc__.format(a=_CSR_A, b=_CSR_B)  # noqa: E501
+q_hosmer_lemeshow_gof.__doc__ = q_hosmer_lemeshow_gof.__doc__.format(ev=_HL_EVENT, g=_HL_G)  # noqa: E501

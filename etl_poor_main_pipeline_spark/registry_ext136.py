@@ -234,7 +234,7 @@ def q_huber_m_location(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hard trim) and the mean. Cell-resolution (centi value cells);
     weights micro-snap per cell per step so both engines walk identical
     parameter sequences. Output one row: n, median_micro, s0_micro,
-    k_micro, m_location_micro.""".format(s=_IRLS_STEPS, k=_HUBER_K)
+    k_micro, m_location_micro."""
     return _HUBER_Q(spark, sf_dir)
 
 
@@ -244,7 +244,7 @@ def q_tukey_biweight_location(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = {c} * 1.4826*MAD — unlike huber_m_location this gives GROSS
     outliers exactly zero weight. Same centi-cell IRLS frame and
     micro-snap discipline. Output one row: n, median_micro, s0_micro,
-    k_micro, m_location_micro.""".format(s=_IRLS_STEPS, c=_BIWEIGHT_C)
+    k_micro, m_location_micro."""
     return _BIWEIGHT_Q(spark, sf_dir)
 
 
@@ -288,7 +288,7 @@ def q_qn_scale_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-cell pairs contribute difference 0 with weight C(w,2)); the
     rank-select is one CDF walk over the bounded difference cells.
     Cell-resolution by design. Output one row: n, k_rank, q_raw_micro,
-    qn_micro.""".format(d=_QN_D)
+    qn_micro."""
     e = _t(spark, sf_dir, "events")
     cells = (
         e.select(F.expr("cast(floor(value + 0.5) as bigint)").alias("v"))
@@ -562,3 +562,12 @@ REGISTRY_EXT136: dict[str, QuerySpec] = {
         q_medcouple_skewness, _ORACLE_MC, "X7 [EXT] medcouple"
     ),
 }
+
+
+# A bare string literal followed by .format() is an expression,
+# not a docstring (__doc__ was silently None) — re-apply the
+# parameterization on the real docstrings (VERDICT r10 ADVICE #1,
+# whole-class fix):
+q_huber_m_location.__doc__ = q_huber_m_location.__doc__.format(s=_IRLS_STEPS, k=_HUBER_K)  # noqa: E501
+q_tukey_biweight_location.__doc__ = q_tukey_biweight_location.__doc__.format(s=_IRLS_STEPS, c=_BIWEIGHT_C)  # noqa: E501
+q_qn_scale_estimator.__doc__ = q_qn_scale_estimator.__doc__.format(d=_QN_D)  # noqa: E501

@@ -55,7 +55,7 @@ def q_delta_method_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     naive per-event variance would be WRONG because events within a
     user correlate. Exact per-user integer moments; one keyless reduce.
     Output one row: n_users, ratio_micro, se_micro, ci_lo_micro,
-    ci_hi_micro.""".format(ev=_RATIO_EVENT)
+    ci_hi_micro."""
     e = _t(spark, sf_dir, "events")
     per_user = e.groupBy("user_id").agg(
         F.sum(
@@ -398,7 +398,7 @@ def q_katz_centrality_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     weakly-connected types still rank. The recurrence iterates over the
     <= 25-cell ENUM adjacency (bounded frame); transition probabilities
     and x micro-snap per round (platt rule). Output per type: type,
-    katz_micro, rank.""".format(r=_KATZ_ROUNDS, a=_KATZ_ALPHA)
+    katz_micro, rank."""
     edges = _type_edges(spark, sf_dir)
     outs = edges.groupBy("src").agg(F.sum("c").cast("bigint").alias("tot"))
     p = (
@@ -492,7 +492,7 @@ def q_closeness_centrality_types(
     normalized closeness C(i) = (r_i - 1)^2 / ((n - 1) * sum_j d_ij)
     with r_i the count reachable from i — the harmonic-free form that
     handles disconnection. Output per type: type, reachable,
-    dist_sum, closeness_milli.""".format(r=_CLOSE_ROUNDS)
+    dist_sum, closeness_milli."""
     edges = _type_edges(spark, sf_dir).select(
         "src", "dst"
     ).filter("src <> dst").distinct()
@@ -589,3 +589,12 @@ REGISTRY_EXT138: dict[str, QuerySpec] = {
         "X9 [EXT] closeness",
     ),
 }
+
+
+# A bare string literal followed by .format() is an expression,
+# not a docstring (__doc__ was silently None) — re-apply the
+# parameterization on the real docstrings (VERDICT r10 ADVICE #1,
+# whole-class fix):
+q_delta_method_ratio_ci.__doc__ = q_delta_method_ratio_ci.__doc__.format(ev=_RATIO_EVENT)  # noqa: E501
+q_katz_centrality_types.__doc__ = q_katz_centrality_types.__doc__.format(r=_KATZ_ROUNDS, a=_KATZ_ALPHA)  # noqa: E501
+q_closeness_centrality_types.__doc__ = q_closeness_centrality_types.__doc__.format(r=_CLOSE_ROUNDS)  # noqa: E501

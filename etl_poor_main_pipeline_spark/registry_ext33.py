@@ -61,9 +61,7 @@ def q_bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-to-right non-overlapping in both engines — exactly greedy BPE),
     then report the corpus's top-{k} post-merge symbols. All per-token
     work is constant-folded expressions in the scan stage; the only
-    shuffle is the final bounded symbol aggregate.""".format(
-        n=len(_BPE_MERGES), k=_BPE_TOPK
-    )
+    shuffle is the final bounded symbol aggregate."""
     d = spread(_t(spark, sf_dir, "documents"))
     toks = F.filter(
         F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit("")
@@ -177,9 +175,7 @@ def q_rolling_quantile_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile over a bounded ROWS frame inside a PARTITIONED window:
     state is the {w}-row frame, shuffle only the user key. Values are
     micro-scaled to integers first so the interpolated median lands on
-    exact .5 steps — 2*median is integer, zero FP ties cross-engine.""".format(
-        w=_RQ_FRAME + 1
-    )
+    exact .5 steps — 2*median is integer, zero FP ties cross-engine."""
     e = _t(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
@@ -322,3 +318,11 @@ REGISTRY_EXT33: dict[str, QuerySpec] = {
         q_schema_merge_evolution, _ORACLE_SCHEMA_EVO, "S [EXT] mergeSchema evolution"
     ),
 }
+
+
+# A bare string literal followed by .format() is an expression,
+# not a docstring (__doc__ was silently None) — re-apply the
+# parameterization on the real docstrings (VERDICT r10 ADVICE #1,
+# whole-class fix):
+q_bpe_apply_merges.__doc__ = q_bpe_apply_merges.__doc__.format(n=len(_BPE_MERGES), k=_BPE_TOPK)  # noqa: E501
+q_rolling_quantile_window.__doc__ = q_rolling_quantile_window.__doc__.format(w=_RQ_FRAME + 1)  # noqa: E501

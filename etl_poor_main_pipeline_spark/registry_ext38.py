@@ -38,9 +38,7 @@ def q_retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     come from a triangular self-join (no global window — the guard
     stays clean); DCG/IDCG contributions are per-rank constants summed
     through decimal(38,16) so reduce order cannot flip the micro
-    floor. Eval-tier sibling of lsh_recall_audit.""".format(
-        terms=_BM25_QUERY_TERMS
-    )
+    floor. Eval-tier sibling of lsh_recall_audit."""
     d = _t(spark, sf_dir, "documents")
     ranked = q_bm25_topk(spark, sf_dir).select("doc_id", "score_micro")
     ranked = ranked.localCheckpoint(eager=False)  # tiny; feeds 2 join sides
@@ -183,9 +181,7 @@ def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-event path per user in (ts, event_id) order, global top-{k} by
     frequency. Two lead()s in a user-partitioned window (state = the
     path length, shuffle = the user key), one bounded top-k
-    aggregate — markov_transitions' order-3 sibling.""".format(
-        k=_PATHS_TOPK
-    )
+    aggregate — markov_transitions' order-3 sibling."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = (
@@ -382,3 +378,11 @@ REGISTRY_EXT38: dict[str, QuerySpec] = {
         q_quality_reasons_bitmap, _ORACLE_QR_BITMAP, "X6 [EXT] filter-reason audit"
     ),
 }
+
+
+# A bare string literal followed by .format() is an expression,
+# not a docstring (__doc__ was silently None) — re-apply the
+# parameterization on the real docstrings (VERDICT r10 ADVICE #1,
+# whole-class fix):
+q_retrieval_eval_metrics.__doc__ = q_retrieval_eval_metrics.__doc__.format(terms=_BM25_QUERY_TERMS)  # noqa: E501
+q_top_event_paths.__doc__ = q_top_event_paths.__doc__.format(k=_PATHS_TOPK)  # noqa: E501

@@ -305,7 +305,7 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] X7 mutual information (nats) between event_type and a
     fixed-width value bucket — the feature-relevance screen ("does this
     categorical predict that numeric range?"). The raw table reduces
-    map-side to a {types} x {buckets} cell grid (<= 50 cells), marginals
+    map-side to a |types| x |buckets| cell grid (<= 50 cells), marginals
     come from two more tiny aggregates, and each cell's p*ln(p/(q*r))
     contribution is floored to a NANO-int before the final sum — an
     integer reduction whose result cannot depend on partition merge

@@ -100,7 +100,7 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum over the FILE-count-bounded stats frame (never the row-bounded
     fact table), so the planner itself is a few-KB job no matter how
     big the table is. Reports per output bin: files merged, rows, and
-    the month span it covers.""".format(cap=_COMPACT_CAPACITY)
+    the month span it covers."""
     files = (
         _t(spark, sf_dir, "lineitem")
         .select(
@@ -170,9 +170,7 @@ def q_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     qualifying pair can never be farther than one cell apart — and
     candidate volume is density-bounded per cell, the shape that
     survives when the oracle's all-pairs cross join is quadratically
-    impossible. Pure integer metres: no trig, no floating boundary.""".format(
-        r=_GEO_R
-    )
+    impossible. Pure integer metres: no trig, no floating boundary."""
     # quadratic mixing hash — a LINEAR map would put every point on one
     # lattice line of the torus (three-distance theorem: anomalously
     # large minimum gaps); the j^2 term breaks the orbit. All terms stay
@@ -264,3 +262,11 @@ REGISTRY_EXT46: dict[str, QuerySpec] = {
         q_spatial_grid_join, _ORACLE_GEO, "X9 [EXT] spatial radius join"
     ),
 }
+
+
+# A bare string literal followed by .format() is an expression,
+# not a docstring (__doc__ was silently None) — re-apply the
+# parameterization on the real docstrings (VERDICT r10 ADVICE #1,
+# whole-class fix):
+q_compaction_plan.__doc__ = q_compaction_plan.__doc__.format(cap=_COMPACT_CAPACITY)  # noqa: E501
+q_spatial_grid_join.__doc__ = q_spatial_grid_join.__doc__.format(r=_GEO_R)  # noqa: E501

@@ -64,9 +64,7 @@ def q_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     representation. One corpus scan against a BROADCAST query set;
     both rankings are integer micro-cosines with vec_id tie-breaks and
     per-query (partitioned) rank windows, so the whole eval is one
-    shuffle-light pass regardless of corpus size.""".format(
-        nq=_MAT_NQ, k=_MAT_K, d=_MAT_DIM
-    )
+    shuffle-light pass regardless of corpus size."""
     e = _t(spark, sf_dir, "embeddings")
     # vec_id is unique, so the id-range filter already caps the query set
     # at _MAT_NQ rows; the explicit limit() makes that cap VISIBLE to the
@@ -253,7 +251,7 @@ def q_int8_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_id=0 query. Reports the overlap and whether rank-1 survived —
     the go/no-go number for serving 4x-smaller vectors. One corpus
     scan; the quantized query is a constant-folded literal; the float
-    reference uses the established micro-cosine ranking.""".format(k=_INT8_K)
+    reference uses the established micro-cosine ranking."""
     e = _t(spark, sf_dir, "embeddings")
     qv = similarity.query_vector(sf_dir, vec_id=0)
     qz = _quantize_py(qv)
@@ -359,3 +357,11 @@ REGISTRY_EXT47: dict[str, QuerySpec] = {
         q_int8_topk_recall, _ORACLE_INT8_RECALL, "X3 [EXT] quantized retrieval eval"
     ),
 }
+
+
+# A bare string literal followed by .format() is an expression,
+# not a docstring (__doc__ was silently None) — re-apply the
+# parameterization on the real docstrings (VERDICT r10 ADVICE #1,
+# whole-class fix):
+q_matryoshka_overlap.__doc__ = q_matryoshka_overlap.__doc__.format(nq=_MAT_NQ, k=_MAT_K, d=_MAT_DIM)  # noqa: E501
+q_int8_topk_recall.__doc__ = q_int8_topk_recall.__doc__.format(k=_INT8_K)  # noqa: E501

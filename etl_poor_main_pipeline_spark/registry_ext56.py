@@ -53,7 +53,7 @@ def q_containment_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding removes; at 100 TB neither side broadcasts, so the banded
     key IS the plan). Engine-side token sets are xxhash64 bigints
     (fast intersects), the oracle uses raw
-    strings.""".format(t=_CONT_THRESH, r=_CONT_MAX_RATIO)
+    strings."""
     d = _t(spark, sf_dir, "documents")
     toks = (
         d.select(
@@ -146,7 +146,7 @@ def q_zipf_slope_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     are vocabulary-bounded; the rank window is PARTITIONED by lang;
     (ln rank, ln freq) coordinates land on nano-ints accumulated in
     decimal(38,0), so the slope is one exact-int ratio cast to a
-    micro.""".format(n=_ZIPF_TOPN)
+    micro."""
     d = _t(spark, sf_dir, "documents")
     counts = (
         d.select("lang", F.explode(tokens_expr("text")).alias("w"))
@@ -236,7 +236,7 @@ def q_rag_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sequence + slice) map-side; per-doc output carries chunk count,
     total chunk tokens (> doc tokens, proving overlap) and a bit_xor
     of per-chunk md5 fingerprints — one flipped token boundary
-    anywhere changes the signature.""".format(w=_RAG_WIDTH, s=_RAG_STRIDE)
+    anywhere changes the signature."""
     d = _t(spark, sf_dir, "documents")
     chunks = (
         d.select("doc_id", tokens_expr("text").alias("ts"))
@@ -307,3 +307,12 @@ REGISTRY_EXT56: dict[str, QuerySpec] = {
         q_rag_chunk_overlap, _ORACLE_RAG, "X6 [EXT] retrieval chunking"
     ),
 }
+
+
+# A bare string literal followed by .format() is an expression,
+# not a docstring (__doc__ was silently None) — re-apply the
+# parameterization on the real docstrings (VERDICT r10 ADVICE #1,
+# whole-class fix):
+q_containment_dedup_pairs.__doc__ = q_containment_dedup_pairs.__doc__.format(t=_CONT_THRESH, r=_CONT_MAX_RATIO)  # noqa: E501
+q_zipf_slope_tokens.__doc__ = q_zipf_slope_tokens.__doc__.format(n=_ZIPF_TOPN)  # noqa: E501
+q_rag_chunk_overlap.__doc__ = q_rag_chunk_overlap.__doc__.format(w=_RAG_WIDTH, s=_RAG_STRIDE)  # noqa: E501

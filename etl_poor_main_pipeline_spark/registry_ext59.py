@@ -48,9 +48,7 @@ def q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     window — and the neighbor pairing is an equi-join on rank offsets
     1..{wm1}, so candidates are exactly (w-1)*n. The complementary
     blocking scheme to the lang/LSH buckets: catches near-dups whose
-    similarity lives in a shared prefix.""".format(
-        k=_SNM_KEYLEN, w=_SNM_WINDOW, t=_SNM_THRESH, wm1=_SNM_WINDOW - 1
-    )
+    similarity lives in a shared prefix."""
     d = _t(spark, sf_dir, "documents")
     keyed = d.select(
         "doc_id",
@@ -137,7 +135,7 @@ def q_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallel variant (lag window partitioned by key); chaining to the
     last KEPT event is inherently sequential and is exactly what the
     stateful streaming tier (applyInPandasWithState) is for. Reports
-    per type: total, kept, dropped.""".format(ms=_DEBOUNCE_MS)
+    per type: total, kept, dropped."""
     w = Window.partitionBy("user_id", "event_type").orderBy("t_us", "event_id")
     e = (
         _t(spark, sf_dir, "events")
@@ -252,3 +250,11 @@ REGISTRY_EXT59: dict[str, QuerySpec] = {
     ),
     "cohort_ltv_curve": QuerySpec(q_cohort_ltv_curve, _ORACLE_LTV, "X9 [EXT] LTV triangle"),
 }
+
+
+# A bare string literal followed by .format() is an expression,
+# not a docstring (__doc__ was silently None) — re-apply the
+# parameterization on the real docstrings (VERDICT r10 ADVICE #1,
+# whole-class fix):
+q_sorted_neighborhood_pairs.__doc__ = q_sorted_neighborhood_pairs.__doc__.format(k=_SNM_KEYLEN, w=_SNM_WINDOW, t=_SNM_THRESH, wm1=_SNM_WINDOW - 1)  # noqa: E501
+q_event_debounce.__doc__ = q_event_debounce.__doc__.format(ms=_DEBOUNCE_MS)  # noqa: E501

@@ -45,7 +45,7 @@ def q_training_batch_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition sort anywhere. Reports per batch: docs, total
     chars (the token-budget proxy), and the doc-id checksum that
     pins membership, so a re-run anywhere must reproduce every batch
-    bit-for-bit.""".format(b=_BATCH_SIZE)
+    bit-for-bit."""
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", "n_chars", F.md5(F.col("doc_id").cast("string")).alias("hk")
     )
@@ -107,7 +107,7 @@ def q_stem_equivalence_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     guards — the light-stemming vocabulary collapse run before
     frequency cutoffs); reports the top-{k} stems by collapsed
     frequency with their variant counts. The CASE text is identical
-    in both engines; all frames are vocabulary-bounded.""".format(k=_STEM_TOPK)
+    in both engines; all frames are vocabulary-bounded."""
     d = _t(spark, sf_dir, "documents")
     toks = d.select(F.explode(tokens_expr("text")).alias("t"))
     stemmed = toks.selectExpr("t", _STEM_CASE.format(t="t") + " as stem")
@@ -149,7 +149,7 @@ def q_equi_depth_grid_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimensions give ~uniform cells, correlation stacks the diagonal.
     The equi-WIDTH 2-D histogram (heatmap_bin_2d) cannot show this on
     skewed marginals; equi-depth is exactly the skew-proof
-    normalization.""".format(d=_GRID_D)
+    normalization."""
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
@@ -215,3 +215,12 @@ REGISTRY_EXT60: dict[str, QuerySpec] = {
         q_equi_depth_grid_2d, _ORACLE_GRID, "X7 [EXT] copula dependence grid"
     ),
 }
+
+
+# A bare string literal followed by .format() is an expression,
+# not a docstring (__doc__ was silently None) — re-apply the
+# parameterization on the real docstrings (VERDICT r10 ADVICE #1,
+# whole-class fix):
+q_training_batch_assignment.__doc__ = q_training_batch_assignment.__doc__.format(b=_BATCH_SIZE)  # noqa: E501
+q_stem_equivalence_classes.__doc__ = q_stem_equivalence_classes.__doc__.format(k=_STEM_TOPK)  # noqa: E501
+q_equi_depth_grid_2d.__doc__ = q_equi_depth_grid_2d.__doc__.format(d=_GRID_D)  # noqa: E501

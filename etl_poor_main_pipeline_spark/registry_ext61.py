@@ -225,7 +225,7 @@ def q_threshold_sensitivity_curve(spark: SparkSession, sf_dir: str) -> DataFrame
     dedup_jaccard_pairs), then counted per threshold band
     {b} — pairs and distinct documents involved at each candidate
     production threshold, the sensitivity curve that picks tau
-    without re-running the pipeline per value.""".format(b=_SENS_BANDS)
+    without re-running the pipeline per value."""
     d = _t(spark, sf_dir, "documents")
     pairs = dedup.jaccard_token_sets(
         d, threshold=0.7, block_cols=["lang"], length_window=16
@@ -298,3 +298,10 @@ REGISTRY_EXT61: dict[str, QuerySpec] = {
         q_threshold_sensitivity_curve, _ORACLE_SENSITIVITY, "X2 [EXT] dedup tuning"
     ),
 }
+
+
+# A bare string literal followed by .format() is an expression,
+# not a docstring (__doc__ was silently None) — re-apply the
+# parameterization on the real docstrings (VERDICT r10 ADVICE #1,
+# whole-class fix):
+q_threshold_sensitivity_curve.__doc__ = q_threshold_sensitivity_curve.__doc__.format(b=_SENS_BANDS)  # noqa: E501

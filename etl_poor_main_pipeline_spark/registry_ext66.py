@@ -115,7 +115,7 @@ def q_rate_cap_per_key_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     guardrail against runaway emitters that would skew every
     downstream aggregate. The cap is a rank window PARTITIONED by the
     cap key; reporting per event_type: kept, shed, and the worst
-    single-key hourly burst.""".format(k=_RATE_CAP)
+    single-key hourly burst."""
     w = Window.partitionBy("user_id", "hb").orderBy("t_us", "event_id")
     e = (
         _t(spark, sf_dir, "events")
@@ -241,3 +241,10 @@ REGISTRY_EXT66: dict[str, QuerySpec] = {
         q_cohens_kappa, _ORACLE_KAPPA, "X6/X7 [EXT] chance-corrected agreement"
     ),
 }
+
+
+# A bare string literal followed by .format() is an expression,
+# not a docstring (__doc__ was silently None) — re-apply the
+# parameterization on the real docstrings (VERDICT r10 ADVICE #1,
+# whole-class fix):
+q_rate_cap_per_key_hour.__doc__ = q_rate_cap_per_key_hour.__doc__.format(k=_RATE_CAP)  # noqa: E501

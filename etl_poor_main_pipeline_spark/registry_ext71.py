@@ -45,7 +45,7 @@ def q_rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) divides identical integers in
     both engines. Rows-frame windows over the daily aggregate — the
     table is already one row per (type, day), so state per key is
-    {w} rows regardless of raw event volume.""".format(w=_OLS_WIN)
+    {w} rows regardless of raw event volume."""
     ev = _t(spark, sf_dir, "events")
     daily = (
         ev.select(
@@ -133,7 +133,7 @@ def q_kendall_tau_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
     count) — it stays registered as the spec for that case and as the
     r1-r5 graded-green history row. Concordant / discordant / tie
     counts are exact bigints from the blocked self-join; tau-b folds
-    in double from those identical ints.""".format(n=_TAU_SAMPLE_N)
+    in double from those identical ints."""
     d = (
         _t(spark, sf_dir, "documents")
         .withColumn("mk", F.md5(F.col("doc_id").cast("string")))
@@ -335,3 +335,11 @@ REGISTRY_EXT71: dict[str, QuerySpec] = {
         q_cuped_adjustment, _ORACLE_CUPED, "X7/X9 [EXT] CUPED variance reduction"
     ),
 }
+
+
+# A bare string literal followed by .format() is an expression,
+# not a docstring (__doc__ was silently None) — re-apply the
+# parameterization on the real docstrings (VERDICT r10 ADVICE #1,
+# whole-class fix):
+q_rolling_ols_slope.__doc__ = q_rolling_ols_slope.__doc__.format(w=_OLS_WIN)  # noqa: E501
+q_kendall_tau_rankings.__doc__ = q_kendall_tau_rankings.__doc__.format(n=_TAU_SAMPLE_N)  # noqa: E501

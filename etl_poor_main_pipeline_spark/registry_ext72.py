@@ -152,9 +152,7 @@ def q_bad_record_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     key sum over good rows, and distinct recovered statuses; the
     quarantined raw payloads stay addressable (count of non-null
     corrupt column equals the bad count). Row-local parse + one
-    aggregate — nothing about this shape changes at 100 TB.""".format(
-        m=_BAD_MOD
-    )
+    aggregate — nothing about this shape changes at 100 TB."""
     o = _t(spark, sf_dir, "orders")
     payload = (
         "concat('{\"k\": ', cast(o_orderkey as string), ', \"s\": \"', o_orderstatus, '\"}')"
@@ -225,7 +223,7 @@ def q_oov_rate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the token stream, and report per-lang OOV rates two ways:
     occurrence-weighted (what a tokenizer actually hits) and
     type-weighted (distinct tokens). The gap between the two is the
-    long-tail signal a vocab-sizing decision needs.""".format(k=_OOV_VOCAB)
+    long-tail signal a vocab-sizing decision needs."""
     d = _t(spark, sf_dir, "documents")
     toks = d.selectExpr(
         "lang",
@@ -325,3 +323,11 @@ REGISTRY_EXT72: dict[str, QuerySpec] = {
     ),
     "oov_rate_audit": QuerySpec(q_oov_rate_audit, _ORACLE_OOV, "X6 [EXT] OOV coverage"),
 }
+
+
+# A bare string literal followed by .format() is an expression,
+# not a docstring (__doc__ was silently None) — re-apply the
+# parameterization on the real docstrings (VERDICT r10 ADVICE #1,
+# whole-class fix):
+q_bad_record_quarantine.__doc__ = q_bad_record_quarantine.__doc__.format(m=_BAD_MOD)  # noqa: E501
+q_oov_rate_audit.__doc__ = q_oov_rate_audit.__doc__.format(k=_OOV_VOCAB)  # noqa: E501

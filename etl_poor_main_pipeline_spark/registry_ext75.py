@@ -60,7 +60,7 @@ def q_fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     summed log-likelihood ratio, and the match / possible / non-match
     classification at ln-LLR thresholds (+{t}/-{nt}). Blocked
     quadratic + exact-count aggregates — the 100 TB linkage
-    shape.""".format(t=_FS_LLR_MATCH, nt=-_FS_LLR_NONMATCH)
+    shape."""
     c = _t(spark, sf_dir, "customer")
     a = c.selectExpr(
         "c_custkey AS a_key",
@@ -196,9 +196,7 @@ def q_itemcf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     co / sqrt(n_a * n_b) over exact bigint counts; each item reports
     its top-{k} neighbors (min co-occurrence {m}, cosine micro,
     neighbor-id tie-break) via an item-PARTITIONED window. The
-    classic "customers also bought" batch job.""".format(
-        k=_CF_TOPK, m=_CF_MIN_CO
-    )
+    classic "customers also bought" batch job."""
     li = (
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -404,3 +402,11 @@ REGISTRY_EXT75: dict[str, QuerySpec] = {
         q_difference_in_differences, _ORACLE_DID, "X7 [EXT] DiD estimator"
     ),
 }
+
+
+# A bare string literal followed by .format() is an expression,
+# not a docstring (__doc__ was silently None) — re-apply the
+# parameterization on the real docstrings (VERDICT r10 ADVICE #1,
+# whole-class fix):
+q_fellegi_sunter_linkage.__doc__ = q_fellegi_sunter_linkage.__doc__.format(t=_FS_LLR_MATCH, nt=-_FS_LLR_NONMATCH)  # noqa: E501
+q_itemcf_cosine_topk.__doc__ = q_itemcf_cosine_topk.__doc__.format(k=_CF_TOPK, m=_CF_MIN_CO)  # noqa: E501

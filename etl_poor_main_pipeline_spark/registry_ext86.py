@@ -46,7 +46,7 @@ def q_frequent_sequences_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     users exhibiting it) with occurrence counts — the PrefixSpan-lite
     every product-analytics stack runs first. Per-user lead windows
     (partitioned), a |types|^3-bounded pattern aggregate, TakeOrdered
-    top-{k}.""".format(k=_SEQ_TOPK)
+    top-{k}."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     tr = (
         _t(spark, sf_dir, "events")
@@ -107,7 +107,7 @@ def q_rake_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     words' MICRO-ROUNDED scores (order-independent integer sum).
     Top-{k} phrases of >= 2 words occurring >= {m} times. The classic
     unsupervised keyword baseline, expression-only and linear per
-    document.""".format(k=_RAKE_TOPK, m=_RAKE_MIN_OCC)
+    document."""
     sw = _RAKE_STOPWORDS
     seg = "concat(' ', lower(text), ' ')"
     for _ in range(3):
@@ -243,3 +243,11 @@ REGISTRY_EXT86: dict[str, QuerySpec] = {
         "X10 [EXT] bounded-state stream dedup",
     ),
 }
+
+
+# A bare string literal followed by .format() is an expression,
+# not a docstring (__doc__ was silently None) — re-apply the
+# parameterization on the real docstrings (VERDICT r10 ADVICE #1,
+# whole-class fix):
+q_frequent_sequences_topk.__doc__ = q_frequent_sequences_topk.__doc__.format(k=_SEQ_TOPK)  # noqa: E501
+q_rake_keyword_extract.__doc__ = q_rake_keyword_extract.__doc__.format(k=_RAKE_TOPK, m=_RAKE_MIN_OCC)  # noqa: E501

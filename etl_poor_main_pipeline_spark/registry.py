@@ -1737,6 +1737,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext150 import REGISTRY_EXT150
     from .registry_ext151 import REGISTRY_EXT151
     from .registry_ext152 import REGISTRY_EXT152
+    from .registry_ext153 import REGISTRY_EXT153
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1890,6 +1891,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT150)
     merged.update(REGISTRY_EXT151)
     merged.update(REGISTRY_EXT152)
+    merged.update(REGISTRY_EXT153)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

@@ -212,23 +212,15 @@ def main() -> None:
     # (two-way-tested against the committed A/B). At cluster scale
     # small_input_posture is a no-op and AQE stays on for everything.
     # See fastpath.py.
-    from etl_poor_main_pipeline_spark.fastpath import (
-        SMALL_INPUT_THRESHOLD_BYTES,
-        AQE_KEEP_QUERIES,
-        corpus_bytes,
-        small_input_posture,
-    )
-
-    fastpath_on = 0 < corpus_bytes(sf_dir) < SMALL_INPUT_THRESHOLD_BYTES
+    from etl_poor_main_pipeline_spark.fastpath import execution_posture
 
     def timed_run(name: str, fn) -> tuple[float, int]:
-        """One build+execute of a query, postured unless the committed A/B
-        measured this name slower under the posture."""
+        """One build+execute of a query under the size-derived posture
+        (small: AQE off + right-sized fan-out, minus the measured
+        AQE_KEEP_QUERIES opt-outs; medium: scan fan-out + AQE advisory
+        sizing; cluster: session posture untouched)."""
         t0 = time.perf_counter()
-        if fastpath_on and name not in AQE_KEEP_QUERIES:
-            with small_input_posture(spark, sf_dir):
-                n = fn(spark, sf_dir).count()
-        else:
+        with execution_posture(spark, sf_dir, name):
             n = fn(spark, sf_dir).count()
         return time.perf_counter() - t0, n
 

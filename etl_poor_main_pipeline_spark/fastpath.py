@@ -71,6 +71,15 @@ from typing import Iterator
 # cannot change any decision a static plan + broadcast hints gets right.
 SMALL_INPUT_THRESHOLD_BYTES = 256 << 20
 
+# Spark's default spark.sql.files.maxPartitionBytes: the medium posture
+# derives a smaller scan split for few-file replicated corpora and
+# self-disables (returns None -> cluster) once the derived value reaches
+# this default.
+_DEFAULT_MAX_PARTITION_BYTES = 128 << 20
+
+_MPB_KEY = "spark.sql.files.maxPartitionBytes"
+_ADV_KEY = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+
 # Max on-disk bytes (compressed parquet) of the source tables feeding a
 # dimension side before broadcast_if_small refuses to pin the hint. 64 MB
 # compressed is ~2-4x that expanded — comfortably inside
@@ -209,6 +218,144 @@ AQE_KEEP_QUERIES = frozenset(
         "closeness_centrality_types",
     }
 )
+
+
+def medium_scan_bytes(spark, nbytes: int) -> int | None:
+    """Derived scan-split / AQE-advisory size for a MEDIUM corpus (bigger
+    than the small-input threshold, but few-file enough that the default
+    128 MB split starves the cores): size splits so the corpus fans out to
+    ~3 waves across the session's parallelism, floored at 4 MB. Returns
+    ``None`` once the derived value reaches Spark's 128 MB default — i.e.
+    at real cluster scale the posture self-disables exactly like the
+    small-input posture (corpus/(3*cores) >= 128 MB long before 100 TB).
+
+    Why this exists (round-11 VERDICT Next #1): the x64 replicated bench
+    corpus is ONE ~900 MB parquet file per table; at the default split
+    size lineitem scans as ~7 tasks on a 32-core host and tpch_q3 walls
+    26.7s. With the derived ~12 MB split the same plan walls 4.2s
+    (measured, this host, min-of-3 interleaved). On a real multi-file
+    100 TB table the scan already yields >> cores splits and this posture
+    is a no-op by construction.
+    """
+    cores = max(1, int(spark.sparkContext.defaultParallelism))
+    derived = nbytes // (3 * cores)
+    if derived >= _DEFAULT_MAX_PARTITION_BYTES:
+        return None
+    return max(4 << 20, int(derived))
+
+
+@contextmanager
+def execution_posture(spark, sf_dir: str, name: str | None = None) -> Iterator[str]:
+    """Size-derived execution-posture dispatch for the harnesses
+    (bench.py, tools/ratio.py, tools/scaling.py). Yields the label of the
+    posture actually applied:
+
+    - ``'small'`` — corpus under :data:`SMALL_INPUT_THRESHOLD_BYTES`:
+      AQE off + right-sized shuffle fan-out (:func:`small_input_posture`).
+      Skipped (-> ``'cluster'``) for the MEASURED opt-outs in
+      :data:`AQE_KEEP_QUERIES` when ``name`` is given.
+    - ``'medium'`` — corpus at least the small threshold but few-file
+      enough that the default 128 MB scan split starves the cores
+      (:func:`medium_scan_bytes`): keep AQE, right-size
+      ``files.maxPartitionBytes`` + the AQE advisory partition size.
+      AQE stays ON here, so the small-posture opt-out list does not
+      apply — every query takes the scan fan-out.
+    - ``'cluster'`` — no conf touched; the session posture stands.
+
+    Both branches restore prior confs on exit; at 100 TB both derivations
+    self-disable and this is always ``'cluster'``.
+    """
+    nbytes = corpus_bytes(sf_dir)
+    if 0 < nbytes < SMALL_INPUT_THRESHOLD_BYTES:
+        if name is not None and name in AQE_KEEP_QUERIES:
+            yield "cluster"
+            return
+        with small_input_posture(spark, sf_dir):
+            yield "small"
+        return
+    mpb = medium_scan_bytes(spark, nbytes) if nbytes > 0 else None
+    if mpb is None:
+        yield "cluster"
+        return
+    prev = {k: spark.conf.get(k, None) for k in (_MPB_KEY, _ADV_KEY)}
+    try:
+        spark.conf.set(_MPB_KEY, str(mpb))
+        spark.conf.set(_ADV_KEY, str(mpb))
+        yield "medium"
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def posture_label(spark, sf_dir: str) -> str:
+    """The corpus-level posture :func:`execution_posture` would apply
+    (ignoring per-query opt-outs) — for harness table headers."""
+    nbytes = corpus_bytes(sf_dir)
+    if 0 < nbytes < SMALL_INPUT_THRESHOLD_BYTES:
+        return "small"
+    if nbytes > 0 and medium_scan_bytes(spark, nbytes) is not None:
+        return "medium"
+    return "cluster"
+
+
+def spread_if_cpu_starved(
+    df,
+    sf_dir: str,
+    table: str,
+    min_bytes_per_split: int = 16 << 20,
+    target_bytes_per_task: int = 2 << 20,
+):
+    """Repartition a few-split parquet scan across the cores ONLY when the
+    parquet footers say the scan stage is CPU-starved: fewer row groups
+    than cores AND more than ``min_bytes_per_split`` UNCOMPRESSED bytes
+    per achievable split. The gate reads footer metadata only (no data
+    pages), so it costs ~ms.
+
+    This is the size-gated sibling of ``operators.dedup.spread`` for
+    CHEAP expression pipelines (tokenize/explode/count): at sf0.1 the
+    documents table is 1.6 MB uncompressed -> the repartition shuffle
+    costs more than the extra cores recover (measured 0.75s vs 1.0s,
+    round-2 note in q_tf_idf), so the gate stays shut; at x64 the same
+    table is one 116 MB-uncompressed file with THREE row groups -> the
+    tokenize serializes on 3 of 32 cores and walls 22s, vs 4.1s spread
+    (measured, round 12). At 100 TB any real table has >> cores splits
+    and the gate never opens.
+    """
+    try:
+        import pyarrow.parquet as pq
+    except Exception:
+        return df
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    files = (
+        sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+        if os.path.isdir(path)
+        else [path]
+    )
+    if not files:
+        return df
+    cores = max(1, int(df.sparkSession.sparkContext.defaultParallelism))
+    groups = 0
+    uncompressed = 0
+    for f in files:
+        if groups >= cores:
+            return df  # scan already fans out; footer walk can stop
+        try:
+            meta = pq.ParquetFile(f).metadata
+        except Exception:
+            return df
+        groups += meta.num_row_groups
+        uncompressed += sum(
+            meta.row_group(i).total_byte_size for i in range(meta.num_row_groups)
+        )
+    if groups >= cores or groups == 0:
+        return df
+    if uncompressed / groups <= min_bytes_per_split:
+        return df
+    target = min(cores, math.ceil(uncompressed / target_bytes_per_task))
+    return df.repartition(target)
 
 
 @contextmanager

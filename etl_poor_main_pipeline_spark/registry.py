@@ -1323,10 +1323,16 @@ LIMIT 50
 
 def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X6 exact TF-IDF per (doc, term): tf * ln(N/df), top-200 by weight
-    for a bounded deterministic result set. No spread(): the tokenize is
-    cheap enough that repartitioning the text costs more than the extra
-    cores recover (measured 0.75s vs 1.0s at sf0.1)."""
-    d = _t(spark, sf_dir, "documents")
+    for a bounded deterministic result set. The document side goes through
+    fastpath.spread_if_cpu_starved: at sf0.1 the footer gate stays shut
+    (1.6 MB uncompressed — an unconditional spread() measured 0.75s vs
+    1.0s there), but the x64 replicated corpus is ONE 116 MB-uncompressed
+    file with 3 row groups, so the tokenize serializes on 3 of 32 cores
+    (22.5s) unless respread (4.1s measured, round 12); at 100 TB any real
+    table has >> cores splits and the gate never opens."""
+    from .fastpath import spread_if_cpu_starved
+
+    d = spread_if_cpu_starved(_t(spark, sf_dir, "documents"), sf_dir, "documents")
     out = text_ops.tf_idf(d)
     return (
         out.select(

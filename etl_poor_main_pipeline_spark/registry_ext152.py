@@ -205,7 +205,11 @@ def q_benjamini_yekutieli_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     penalty c(m) = Σ_{i≤m} 1/i — FDR control under ARBITRARY
     dependence (the BH twin, fdr_bh_correction, assumes positive
     dependence). Critical value at rank i: (i/m)·(α/c(m)); reciprocal
-    terms snap nano so c(m) is an exact sum. Output per cell:
+    terms snap nano so c(m) is an exact sum. Rejection is the STEP-UP
+    rule (mirrors registry_ext69's BH): k* = max{i : p_(i) ≤ crit_i},
+    reject ALL ranks ≤ k* — a per-cell p ≤ crit comparison would
+    wrongly un-reject cells below k* whose own p exceeds their own
+    critical value (round-11 ADVICE fix). Output per cell:
     event_type, dow0, p_micro, crit_by_micro, reject_by."""
     fam = _test_family(spark, sf_dir)
     fam = fam.localCheckpoint(eager=False)  # rank join + crit pass
@@ -234,14 +238,33 @@ def q_benjamini_yekutieli_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" * ({_ALPHA_MICRO}.0D / (cast(cm_nano as double) / 1e9)) + 0.5)"
         " as bigint)"
     )
+    withcut = ranked.crossJoin(F.broadcast(m)).selectExpr(
+        "event_type",
+        "dow0",
+        "p_micro",
+        "rk",
+        f"{crit} AS crit_by_micro",
+    )
+    kmax = withcut.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p_micro") <= F.col("crit_by_micro"), F.col("rk")
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("k_max")
+    )
     return (
-        ranked.crossJoin(F.broadcast(m))
-        .selectExpr(
+        withcut.crossJoin(F.broadcast(kmax))
+        .select(
             "event_type",
             "dow0",
             "p_micro",
-            f"{crit} AS crit_by_micro",
-            f"p_micro <= {crit} AS reject_by",
+            "crit_by_micro",
+            (F.col("rk") <= F.col("k_max")).alias("reject_by"),
         )
         .orderBy("event_type", "dow0")
     )
@@ -251,12 +274,18 @@ _ORACLE_BY = f"""
 WITH {_SQL_TEST_FAMILY},
 m AS (
   -- generate_series can't take a subquery bound (documented DuckDB
-  -- limitation): cross a fixed 1..10000 series and filter to i <= m
+  -- limitation): cross a fixed 1..100000 series and filter to i <= m.
+  -- The bound is ~3000x the enum-bounded family (|event_type| x 7 = 35);
+  -- the CASE error() guard makes any silent c(m) truncation impossible
+  -- if the family ever outgrows it (round-11 ADVICE fix).
   SELECT f.m,
          sum(cast(floor(1e9 / cast(t.i AS DOUBLE) + 0.5) AS BIGINT))
            AS cm_nano
-  FROM (SELECT count(*)::BIGINT AS m FROM fam) f,
-       generate_series(1, 10000) t(i)
+  FROM (SELECT CASE WHEN count(*) > 100000
+               THEN error('_ORACLE_BY: family size exceeds the harmonic'
+                          || ' series bound 100000 - raise the bound')
+               ELSE count(*)::BIGINT END AS m FROM fam) f,
+       generate_series(1, 100000) t(i)
   WHERE t.i <= f.m
   GROUP BY 1
 ),
@@ -267,15 +296,22 @@ ranked AS (
        (b.event_type < a.event_type OR (b.event_type = a.event_type
         AND b.dow0 <= a.dow0)))
   GROUP BY 1, 2, 3
+),
+withcut AS (
+  SELECT event_type, dow0, p_micro, rk,
+         cast(floor(cast(rk AS DOUBLE) / cast(m AS DOUBLE)
+           * ({_ALPHA_MICRO}.0 / (cast(cm_nano AS DOUBLE) / 1e9)) + 0.5)
+           AS BIGINT) AS crit_by_micro
+  FROM ranked, m
+),
+kmax AS (
+  SELECT coalesce(max(CASE WHEN p_micro <= crit_by_micro THEN rk END),
+                  0)::BIGINT AS k_max
+  FROM withcut
 )
-SELECT event_type, dow0, p_micro,
-       cast(floor(cast(rk AS DOUBLE) / cast(m AS DOUBLE)
-         * ({_ALPHA_MICRO}.0 / (cast(cm_nano AS DOUBLE) / 1e9)) + 0.5)
-         AS BIGINT) AS crit_by_micro,
-       p_micro <= cast(floor(cast(rk AS DOUBLE) / cast(m AS DOUBLE)
-         * ({_ALPHA_MICRO}.0 / (cast(cm_nano AS DOUBLE) / 1e9)) + 0.5)
-         AS BIGINT) AS reject_by
-FROM ranked, m
+SELECT event_type, dow0, p_micro, crit_by_micro,
+       rk <= k_max AS reject_by
+FROM withcut CROSS JOIN kmax
 ORDER BY 1, 2
 """
 

@@ -125,27 +125,44 @@ def q_runs_test_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     top half of the source enum, and run the Wald-Wolfowitz runs test:
     R = 1 + #(adjacent pairs that differ), E[R] = 2*n1*n0/n + 1,
     Var[R] = (E[R]-1)(E[R]-2)/(n-1); |z| large means the "shuffle"
-    still clusters sources and epoch batches won't be i.i.d. Ranks come
-    from scan_prefix.global_rank_zero; adjacency is an equi-join of
-    rank r with r+1 (partition-parallel). One row: n, runs, expected
-    runs (micro), z (micro)."""
+    still clusters sources and epoch batches won't be i.i.d. Document
+    ranks come from scan_prefix.global_rank_zero; adjacency is an
+    equi-join of rank r with r+1 (partition-parallel). One row: n, runs,
+    expected runs (micro), z (micro).
+
+    Plan economy (round-12 trim, r11 VERDICT #5): the source enum is
+    ranked with a triangular join over the <=|sources| distinct frame
+    (enum-bounded — a full Blelloch pipeline for a handful of rows was
+    the old plan's first ~10 exchanges), and the ranked sequence is
+    localCheckpoint'ed so its THREE consumers (adjacency left side,
+    shifted right side, the n/n1 counts) share one computation instead
+    of recompiling the whole rank pipeline each."""
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h"), "source"
     )
     # binarize: source in the lexicographic top half of the DISTINCT enum
     srcs = d.select("source").distinct()
     n_src = srcs.agg(F.count(F.lit(1)).cast("bigint").alias("ns"))
-    ranked_src = global_rank_zero(srcs, ["source"], 4, out="sr")
+    rhs = srcs.selectExpr("source AS s2")
+    ranked_src = (
+        srcs.join(F.broadcast(rhs), F.expr("s2 < source"), "left")
+        .groupBy("source")
+        .agg(F.count("s2").cast("bigint").alias("sr"))
+    )
     flag = (
         ranked_src.crossJoin(F.broadcast(n_src))
         .selectExpr("source", "CASE WHEN sr * 2 >= ns THEN 1 ELSE 0 END as b")
     )
-    seq = global_rank_zero(
-        d.join(F.broadcast(flag), "source").select("doc_id", "h", "b"),
-        ["h", "doc_id"],
-        8,
-        out="r0",
-    ).select("r0", "b")
+    seq = (
+        global_rank_zero(
+            d.join(F.broadcast(flag), "source").select("doc_id", "h", "b"),
+            ["h", "doc_id"],
+            8,
+            out="r0",
+        )
+        .select("r0", "b")
+        .localCheckpoint(eager=False)
+    )
     nxt = seq.selectExpr("r0 - 1 as r0", "b as b_next")
     runs = (
         seq.join(nxt, "r0")

@@ -93,12 +93,21 @@ def test_by_matches_reference(spark):
         for r in q_benjamini_yekutieli_fdr(spark, SF).collect()
     }
     assert set(out) == set(fam)
+    # BY is a STEP-UP procedure: k* = max{i : p_(i) <= crit_i}, reject
+    # ALL ranks <= k* (not a per-cell p <= crit comparison).
+    crits = {
+        i: math.floor(i / m * (_ALPHA_MICRO / (cm / 1e9)) + 0.5)
+        for i in range(1, m + 1)
+    }
+    k_star = max(
+        (i for i, (_, p) in enumerate(order, start=1) if p <= crits[i]),
+        default=0,
+    )
     for i, ((t, d), p) in enumerate(order, start=1):
-        crit = math.floor(i / m * (_ALPHA_MICRO / (cm / 1e9)) + 0.5)
         r = out[(t, d)]
         assert r.p_micro == p
-        assert r.crit_by_micro == crit
-        assert r.reject_by == (p <= crit)
+        assert r.crit_by_micro == crits[i]
+        assert r.reject_by == (i <= k_star)
 
 
 def test_agresti_coull_matches_reference(spark):

@@ -56,15 +56,10 @@ def main() -> None:
     # round 9 found ratio.py's posture-less walls read 2-3x the committed
     # ledger for posture-sensitive queries (the r8 verdict's
     # "three ledgers disagree" defect was this instrument mismatch)
-    from etl_poor_main_pipeline_spark.fastpath import (
-        AQE_KEEP_QUERIES,
-        small_input_posture,
-    )
+    from etl_poor_main_pipeline_spark.fastpath import execution_posture
 
     def run_postured(name, fn):
-        if name in AQE_KEEP_QUERIES:
-            return fn(spark, sf_dir).count()
-        with small_input_posture(spark, sf_dir):
+        with execution_posture(spark, sf_dir, name):
             return fn(spark, sf_dir).count()
 
     rows = []

@@ -21,10 +21,13 @@ Replication semantics:
   linearly, calendar spines stay calendar-bounded — exactly the regime
   the bounded-frame window adjudications assume.
 
-Spark runs under fastpath.small_input_posture(scaled_dir): at x1/x4 the
-small-input posture applies; at x16 (~280 MB) the corpus crosses the
-threshold and the CLUSTER posture (AQE on) self-selects — the printed
-table records which posture ran.
+Spark runs under fastpath.execution_posture(scaled_dir, name): at x1/x4
+the small-input posture applies (minus the measured AQE_KEEP_QUERIES
+opt-outs); at x16/x64 the corpus crosses the threshold and the MEDIUM
+posture self-selects (AQE on, scan split + advisory partition size derived
+from corpus/(3*cores) — few-file replicated corpora otherwise starve the
+cores at the default 128 MB split); at real cluster scale both derivations
+self-disable. The printed table records which posture ran.
 
 Usage (idle host only — same contention caveat as bench.py):
 
@@ -161,9 +164,9 @@ def main() -> None:
     qnames = args.queries.split(",") if args.queries else QUERIES
 
     from etl_poor_main_pipeline_spark.fastpath import (
-        AQE_KEEP_QUERIES,
         corpus_bytes,
-        small_input_posture,
+        execution_posture,
+        posture_label,
     )
     from etl_poor_main_pipeline_spark.registry import oracle_sql, queries
     from etl_poor_main_pipeline_spark.session import get_spark
@@ -192,21 +195,17 @@ def main() -> None:
     for f in factors:
         d = dirs[f]
         mb = corpus_bytes(d) / 1e6
-        with small_input_posture(spark, d) as small:
-            postures[f] = "small" if small else "cluster"
+        postures[f] = posture_label(spark, d)
         print(f"--- x{f} ({mb:.0f} MB, {postures[f]} posture)", file=sys.stderr)
         for name in qnames:
             if name not in qs or name not in oracles:
                 continue
 
             def _run() -> float:
-                # same policy as bench.py: posture unless the committed
-                # A/B measured this name slower under it
+                # same policy as bench.py: size-derived posture with the
+                # measured small-posture opt-outs (execution_posture)
                 t0 = time.perf_counter()
-                if postures[f] == "small" and name not in AQE_KEEP_QUERIES:
-                    with small_input_posture(spark, d):
-                        qs[name](spark, d).count()
-                else:
+                with execution_posture(spark, d, name):
                     qs[name](spark, d).count()
                 return time.perf_counter() - t0
 

@@ -94,11 +94,6 @@ ALLOWED_NESTED_LOOP = {
     # localCheckpoint so the detector cannot size them.
     "holm_bonferroni_correction",
     "benjamini_yekutieli_fdr",
-    # Round-12 plan trim (r11 VERDICT #5): the DISTINCT source enum
-    # (<= |sources| rows at any corpus size) triangularly self-joined for
-    # its lexicographic rank — replaces a full Blelloch global_rank_zero
-    # pipeline over a handful of rows; the quade_test/fdr_bh category.
-    "runs_test_shuffle_audit",
 }
 
 STREAM_PREFIXES = ("streaming_", "stream_")

@@ -192,6 +192,10 @@ ALLOWED_GLOBAL = {
     # Wave 151: AR(2) lag window over the checkpointed calendar-bounded
     # DAILY spine (the pettitt/dickey_fuller category)
     "ar2_yule_walker_forecast",
+    # Wave 156: cumulative + row_number walks over the checkpointed
+    # calendar-bounded DAILY spine (the pettitt/dickey_fuller category)
+    "buishand_range_test",
+    "snht_homogeneity",
     # Wave 137's curriculum_pacing_plan cuts deciles off the
     # token-count cell CDF (document-length-DOMAIN bounded) but
     # localCheckpoints the decile frame before the phase cross, so the

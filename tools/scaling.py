@@ -268,24 +268,45 @@ def main() -> None:
         lines.append(f"| {name} | " + " | ".join(cells) + f" | {crossed} |")
     lines += [
         "",
+        "HOST DEPENDENCE (round 12): every row above is a SAME-HOST,",
+        "same-session pair. Across rounds the DuckDB oracle walls moved",
+        "up to ~10x between hosts (r11 recorded tpch_q3 x64 duck 3.51s;",
+        "this host reads 0.31s for the identical query and corpus) while",
+        "the Spark walls moved far less — so ratios are comparable only",
+        "WITHIN a table, and round-over-round progress must be read off",
+        "the Spark-wall columns (r11 -> r12: q3 8.33 -> 4.40s, q5 5.56 ->",
+        "3.85s, tf_idf unmeasured -> 3.79s, LSH 83.2 -> 47.9s — the",
+        "medium-corpus posture, fastpath.execution_posture).",
+        "",
         "ANN-tier reading (round-8 task: measure the designed answers to",
         "the exact brute-force counterexample; honest includes the part",
         "that does NOT cross locally):",
-        "- `similarity_ivf_topk`: its Spark/DuckDB ratio FALLS with scale",
-        "  (12.9x at x4 -> 0.6x at x64 — measured crossover) because the",
-        "  centroid-probe shortlist is sublinear while the oracle pays the",
-        "  full emulation. Locally IVF's ABSOLUTE wall still exceeds exact",
-        "  brute force on Spark (29.5s vs 5.2s at x64): at these corpus",
-        "  sizes the train/assign overhead dominates the probe savings —",
-        "  the curves argue the 100x case (exact ratio flat ~30x at every",
-        "  factor; IVF ratio falling monotonically), not the local one.",
+        "- `similarity_ivf_topk`: its Spark/DuckDB ratio FALLS",
+        "  monotonically with scale (16.0x at x4 -> 8.4x at x16 -> 7.3x",
+        "  at x64 on this host) because the centroid-probe shortlist is",
+        "  sublinear while the oracle pays the full emulation. The r11",
+        "  host measured an outright crossover (0.6x at x64) on the same",
+        "  corpus — the difference is entirely the oracle wall (48.9s",
+        "  there, 3.1s here; see HOST DEPENDENCE). Locally IVF's ABSOLUTE",
+        "  wall still exceeds exact brute force on Spark (23.0s vs 5.1s",
+        "  at x64): at these corpus sizes the train/assign overhead",
+        "  dominates the probe savings — the curves argue the 100x case",
+        "  (exact ratio flat ~31x at every factor; IVF ratio falling",
+        "  monotonically), not the local one.",
         "- `dedup_minhash_lsh`: Spark beats the DuckDB oracle at EVERY",
-        "  factor (0.4-0.6x) — the band-bucket shuffle scales. Caveat:",
+        "  factor (0.5-0.7x) — the band-bucket shuffle scales. Caveat:",
         "  documents.text replicates VERBATIM, so every replica of a",
         "  template is a true near-dup of every other replica and the PAIR",
         "  workload itself grows ~quadratically in the factor for both",
         "  engines; the ratio compares like for like, the absolute walls",
         "  measure that inflated pair count, not linear corpus growth.",
+        "- `text_tf_idf` (round-12 fix): the footer-gated document spread",
+        "  (fastpath.spread_if_cpu_starved) un-serializes the tokenize",
+        "  (3 row groups -> 3 of 32 cores before; 22.5s -> 3.8s at x64)",
+        "  and the ratio now CROSSES at x16 (0.9x) and x64 (0.5x).",
+        "- `join_cross`'s oracle is sub-millisecond at every factor (a",
+        "  LIMIT-bounded constant-size result); its ratio column is a",
+        "  floor artifact, kept for completeness.",
     ]
     out_md = os.path.join(REPO, "SCALING.md")
     with open(out_md, "w") as fh:

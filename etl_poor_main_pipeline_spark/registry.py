@@ -1748,6 +1748,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext155 import REGISTRY_EXT155
     from .registry_ext156 import REGISTRY_EXT156
     from .registry_ext157 import REGISTRY_EXT157
+    from .registry_ext158 import REGISTRY_EXT158
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1906,6 +1907,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT155)
     merged.update(REGISTRY_EXT156)
     merged.update(REGISTRY_EXT157)
+    merged.update(REGISTRY_EXT158)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

@@ -94,6 +94,13 @@ ALLOWED_NESTED_LOOP = {
     # localCheckpoint so the detector cannot size them.
     "holm_bonferroni_correction",
     "benjamini_yekutieli_fdr",
+    # Wave 158: the observed x-level frame crossed with the observed
+    # y-level frame to densify Hoeffding's joint grid — bounded by the
+    # two VALUE DOMAINS (activity counts × centi means), CONSTANT in
+    # the corpus; the hodges_lehmann/distance_correlation category
+    # (the frames sit behind a localCheckpoint so the detector cannot
+    # size them).
+    "hoeffding_d",
 }
 
 STREAM_PREFIXES = ("streaming_", "stream_")

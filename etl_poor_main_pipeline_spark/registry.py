@@ -1749,6 +1749,8 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext156 import REGISTRY_EXT156
     from .registry_ext157 import REGISTRY_EXT157
     from .registry_ext158 import REGISTRY_EXT158
+    from .registry_ext159 import REGISTRY_EXT159
+    from .registry_ext160 import REGISTRY_EXT160
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1908,6 +1910,8 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT156)
     merged.update(REGISTRY_EXT157)
     merged.update(REGISTRY_EXT158)
+    merged.update(REGISTRY_EXT159)
+    merged.update(REGISTRY_EXT160)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

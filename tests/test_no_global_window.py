@@ -196,6 +196,9 @@ ALLOWED_GLOBAL = {
     # calendar-bounded DAILY spine (the pettitt/dickey_fuller category)
     "buishand_range_test",
     "snht_homogeneity",
+    # Wave 160: risk-set suffix walk over calendar-bounded duration-day
+    # cells (the log_rank_survival sanction category)
+    "harrell_c_index",
     # Wave 137's curriculum_pacing_plan cuts deciles off the
     # token-count cell CDF (document-length-DOMAIN bounded) but
     # localCheckpoints the decile frame before the phase cross, so the

@@ -291,15 +291,14 @@ def main() -> None:
                 "n_queries": len(timings),
                 "n_failed": sum(1 for t in timings.values() if t < 0),
                 "queries_file": sidecar,
-                "fastpath": fastpath_on,
                 "floor_sec": floor_sec,
                 "meta": (
                     "per-query wall (plan+execute+count) after JVM warm-up; "
-                    "size-derived small-input posture (AQE off + right-sized "
-                    "shuffle fan-out below 256MB corpus; no-op at scale), "
-                    "skipped for the queries the committed full-registry "
-                    "A/B measured slower under it (AQE_KEEP_QUERIES; "
-                    "AB_FASTPATH.json + RATIO.md fastpath A/B); "
+                    "size-derived execution posture (small: AQE off + "
+                    "right-sized shuffle fan-out below 256MB corpus, minus "
+                    "the measured AQE_KEEP_QUERIES opt-outs; medium: scan "
+                    "split + AQE advisory sizing for few-file corpora; "
+                    "no-op at cluster scale — fastpath.execution_posture); "
                     "heavy queries first; queries >0.3s re-run once, MIN "
                     "reported (re-run failure keeps first-run time); "
                     "cache-clear+GC settle after >2s queries; "

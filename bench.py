@@ -204,7 +204,7 @@ def main() -> None:
 
     # Size-derived execution posture: on a corpus this small, AQE's
     # per-stage driver round-trips and a 32-wide shuffle fan-out are pure
-    # floor; the committed 662-query idle A/B (tools/ab_fastpath.py ->
+    # floor; the committed 686-query idle A/B (tools/ab_fastpath.py ->
     # AB_FASTPATH.json, RATIO.md "fastpath A/B") shows 2 queries regress
     # >1.5x (bradley_terry 3.9x) and 9 total show >=1.28x regressions —
     # iterative tiny-join loops that rely on AQE coalescing; those nine

@@ -12,7 +12,7 @@ headline subset ~-35% with identical results.
 BUT the posture is not free for EVERY plan. Round 7 shipped it
 process-wide with an unsubstantiated "no query regresses" claim; round 8
 replaced the claim with measurement: tools/ab_fastpath.py ran the FULL
-662-query registry posture-ON vs posture-OFF back-to-back on an idle host
+686-query registry posture-ON vs posture-OFF back-to-back on an idle host
 (committed as AB_FASTPATH.json + the "fastpath A/B" table in RATIO.md).
 Result: the posture wins or ties on the overwhelming majority — including
 the iterative graph/dedup pipelines (pagerank 5.3s -> 3.2s, minhash-LSH

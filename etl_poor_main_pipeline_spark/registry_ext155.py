@@ -61,6 +61,19 @@ _LP_A, _LP_B = "click", "purchase"
 _CHI2_2_95_MICRO = 5_991_465  # qchisq(.95, 2) = 5.991464547107979
 _CHI2_4_95_MICRO = 9_487_729  # qchisq(.95, 4) = 9.487729036781154
 
+
+def _chi2_crit_micro(k_expr: str) -> str:
+    """5% χ²(k-1) critical value (micro) derived from the data-derived
+    group count ``k_expr`` — identical CASE text on both engines, so a
+    corpus with an absent event type keeps df and reject_05 aligned
+    with the reported k (k=2..6 covers the 5-type events table plus
+    dropout)."""
+    return (
+        f"CASE {k_expr} WHEN 2 THEN 3841459 WHEN 3 THEN 5991465"
+        " WHEN 4 THEN 7814728 WHEN 5 THEN 9487729"
+        " WHEN 6 THEN 11070498 END"
+    )
+
 # Acklam (2003) inverse-normal-CDF rational approximation coefficients
 _ACK_A = (
     "-3.969683028665376e+01", "2.209460984245205e+02",
@@ -578,7 +591,7 @@ def _normal_scores_stat(
             f"cast(floor(cast(num_nano as double) / 1e3 / {v2} + 0.5)"
             " as bigint) AS stat_micro",
             f"cast(floor(cast(num_nano as double) / 1e3 / {v2} + 0.5)"
-            f" as bigint) > {_CHI2_4_95_MICRO} AS reject_05",
+            f" as bigint) > {_chi2_crit_micro('k')} AS reject_05",
         )
     )
 
@@ -621,7 +634,7 @@ SELECT k, n,
            AS DOUBLE) / 1e3 / {v2} + 0.5) AS BIGINT) AS stat_micro,
        cast(floor(cast(sum(cast(floor(1e9 * ({term}) + 0.5) AS BIGINT))
            AS DOUBLE) / 1e3 / {v2} + 0.5) AS BIGINT)
-         > {_CHI2_4_95_MICRO} AS reject_05
+         > {_chi2_crit_micro('k')} AS reject_05
 FROM per_g, gtot
 GROUP BY 1, 2, sa, saa
 """

@@ -72,6 +72,16 @@ def test_siegel_tukey_matches_direct(spark):
     z = (w - ew) / math.sqrt(var)
     out = q_siegel_tukey_test(spark, SF).collect()[0]
     assert (out.n_a, out.n_b) == (m, nb2)
+    # exact-integer pins: the closed odd/even subseries forms must
+    # reproduce ΣA and 3·ΣA² bit-for-bit (a coefficient slip in the
+    # run-sum algebra cannot hide inside the z tolerance)
+    assert int(out.suma) == suma
+    assert int(out.suma23) == round(3 * suma2)
+    var_q = (
+        m * nb2 * (n * int(out.suma23) / 3.0 - suma * suma)
+        / (n * n * (n - 1.0))
+    )
+    assert abs(var_q - var) <= 1e-9 * var
     assert abs(out.w_micro / 1e6 - w) < 1e-4
     assert abs(out.z_milli / 1e3 - z) < 2e-3
     assert out.reject_05 == (abs(out.z_milli) > 1960)

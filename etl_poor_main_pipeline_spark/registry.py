@@ -1751,6 +1751,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext158 import REGISTRY_EXT158
     from .registry_ext159 import REGISTRY_EXT159
     from .registry_ext160 import REGISTRY_EXT160
+    from .registry_ext161 import REGISTRY_EXT161
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1912,6 +1913,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT158)
     merged.update(REGISTRY_EXT159)
     merged.update(REGISTRY_EXT160)
+    merged.update(REGISTRY_EXT161)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

@@ -255,6 +255,21 @@ def main() -> None:
                     f"bench: {name} re-run failed ({exc}); keeping first-run time",
                     file=sys.stderr,
                 )
+        if elapsed > SETTLE_THRESHOLD_SEC:
+            # round 13 (VERDICT r12 Next #5): multi-second queries early
+            # in the order still carry C2-JIT decay past run 2 —
+            # dedup_minhash_lsh measured a monotone within-session decay
+            # 11.8/4.0/3.5/3.3/2.7/.../2.28s over 10 idle runs, and its
+            # 2.15-2.75s cross-round committed swing sits exactly in the
+            # run-2..4 band. A third run bounds the warmth sensitivity.
+            try:
+                e3, _ = timed_run(name, fn)
+                elapsed = min(elapsed, e3)
+            except Exception as exc:
+                print(
+                    f"bench: {name} third run failed ({exc}); keeping min-of-2",
+                    file=sys.stderr,
+                )
         timings[name] = round(elapsed, 3)
         print(f"bench: {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
         if elapsed > SETTLE_THRESHOLD_SEC:

@@ -101,6 +101,12 @@ ALLOWED_NESTED_LOOP = {
     # (the frames sit behind a localCheckpoint so the detector cannot
     # size them).
     "hoeffding_d",
+    # Wave 162: the calendar-DAY (AM mean, PM mean) frame triangularly
+    # self-joined for the Passing-Bablok pairwise-slope set — days²/2
+    # pairs, calendar-bounded at any corpus size (the
+    # sample_entropy_daily category); the frame sits behind a
+    # localCheckpoint so the detector cannot size it.
+    "passing_bablok_regression",
 }
 
 STREAM_PREFIXES = ("streaming_", "stream_")

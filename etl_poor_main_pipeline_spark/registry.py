@@ -1771,6 +1771,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     from .registry_ext160 import REGISTRY_EXT160
     from .registry_ext161 import REGISTRY_EXT161
     from .registry_ext162 import REGISTRY_EXT162
+    from .registry_ext163 import REGISTRY_EXT163
 
     merged = dict(REGISTRY)
     merged.update(REGISTRY_EXT)
@@ -1934,6 +1935,7 @@ def _full_registry() -> dict[str, QuerySpec]:
     merged.update(REGISTRY_EXT160)
     merged.update(REGISTRY_EXT161)
     merged.update(REGISTRY_EXT162)
+    merged.update(REGISTRY_EXT163)
     ordered = {name: merged.pop(name) for name in _SWEEP_PRIORITY}
     ordered.update(merged)
     return ordered

@@ -12,12 +12,12 @@ headline subset ~-35% with identical results.
 BUT the posture is not free for EVERY plan. Round 7 shipped it
 process-wide with an unsubstantiated "no query regresses" claim; round 8
 replaced the claim with measurement: tools/ab_fastpath.py ran the FULL
-686-query registry posture-ON vs posture-OFF back-to-back on an idle host
+702-query registry posture-ON vs posture-OFF back-to-back on an idle host
 (committed as AB_FASTPATH.json + the "fastpath A/B" table in RATIO.md).
 Result: the posture wins or ties on the overwhelming majority — including
 the iterative graph/dedup pipelines (pagerank 5.3s -> 3.2s, minhash-LSH
 4.9s -> 3.4s) — 2 queries regress >1.5x (bradley_terry_strengths 3.9x,
-collocation_llr_bigrams 1.6x) and 9 total show >=1.28x regressions
+collocation_llr_bigrams 1.6x) and 10 total show >=1.28x regressions
 where repeated tiny-frame joins rely on AQE's partition coalescing and
 runtime broadcast demotion; those nine are :data:`AQE_KEEP_QUERIES`
 (raking_ipf joined in round 10 at 1.85x postured).
@@ -216,6 +216,11 @@ AQE_KEEP_QUERIES = frozenset(
         # wave-138 min-plus closure: 3 relaxation rounds of tiny-frame
         # joins over the 25-cell adjacency (A/B: off 0.84s on 1.43s, 1.7x)
         "closeness_centrality_types",
+        # wave-162 Passing-Bablok: the calendar-day dense pair join plus
+        # two Blelloch order-statistic passes — AQE's coalescing keeps
+        # the tiny-frame fan-outs right-sized (A/B: off 2.18s on 3.51s,
+        # 1.61x postured)
+        "passing_bablok_regression",
     }
 )
 

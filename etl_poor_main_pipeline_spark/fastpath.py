@@ -19,8 +19,9 @@ the iterative graph/dedup pipelines (pagerank 5.3s -> 3.2s, minhash-LSH
 4.9s -> 3.4s) — 2 queries regress >1.5x (bradley_terry_strengths 3.9x,
 collocation_llr_bigrams 1.6x) and 10 total show >=1.28x regressions
 where repeated tiny-frame joins rely on AQE's partition coalescing and
-runtime broadcast demotion; those nine are :data:`AQE_KEEP_QUERIES`
-(raking_ipf joined in round 10 at 1.85x postured).
+runtime broadcast demotion; those are :data:`AQE_KEEP_QUERIES`
+(raking_ipf joined in round 10 at 1.85x; passing_bablok_regression in
+round 13 at 1.61x postured).
 The harnesses (bench.py, tools/scaling.py) skip the posture for them and
 tests/test_fastpath.py asserts the list stays consistent with the
 committed A/B in BOTH directions (every measured regression is listed,

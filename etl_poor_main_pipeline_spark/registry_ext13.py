@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .operators.dedup import spread
 from .registry import QuerySpec, _t
 
 
@@ -30,7 +31,10 @@ def q_fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     confined to same-band buckets; production blocking composes this
     with a q-gram prefix key the same way."""
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    a = s.select(
+    # synthetic names share one length, so the length band is one bucket
+    # and the probe side pays ~n^2/2 levenshtein evals; spread the
+    # one-split probe scan across cores (no-op at scale)
+    a = spread(s).select(
         F.col("s_suppkey").alias("supkey_a"),
         F.col("s_name").alias("name_a"),
         F.length("s_name").alias("blk"),

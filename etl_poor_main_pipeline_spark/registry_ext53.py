@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .operators.dedup import spread
 from .registry import QuerySpec, _t
 
 # --------------------------------------------------------------------------
@@ -55,7 +56,9 @@ def q_trigram_like_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     tris = _pattern_trigrams(_TRGM_PATTERN)
     tris_arr = F.array(*[F.lit(t) for t in tris])
     d = _t(spark, sf_dir, "documents")
-    doc_tris = d.select(
+    # ~len(text) substring ops per doc; spread the one-split scan so the
+    # trigram extraction uses every core (no-op at scale)
+    doc_tris = spread(d).select(
         "doc_id",
         # Spark sequence(1, 0) yields a DESCENDING [1, 0] — guard short
         # docs explicitly instead of clamping the bound
@@ -142,7 +145,9 @@ def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         " cast(r as string))), 1, 13), 16, 10) as bigint) / 4503599627370496.0"
     )
     e = (
-        _t(spark, sf_dir, "events")
+        # B md5 evaluations per event ride the explode; spread the
+        # one-split scan across cores (no-op at scale)
+        spread(_t(spark, sf_dir, "events"))
         .select(
             "event_type",
             "event_id",

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .functions.text import tokens_expr
+from .operators.dedup import spread
 from .registry import QuerySpec, _t
 
 # --------------------------------------------------------------------------
@@ -55,8 +56,11 @@ def q_containment_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fast intersects), the oracle uses raw
     strings."""
     d = _t(spark, sf_dir, "documents")
+    # the probe side evaluates millions of per-pair conditions; a one-split
+    # parquet scan would serialize that on one core (spread() is a no-op at
+    # scale, where the scan already fans out — operators.dedup.spread)
     toks = (
-        d.select(
+        spread(d).select(
             "doc_id",
             "lang",
             F.array_distinct(
@@ -66,6 +70,19 @@ def q_containment_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "hs", F.size("hs").alias("sz"))
         # exact integer bit length of sz (number of binary digits)
         .withColumn("band", F.length(F.conv(F.col("sz").cast("string"), 10, 2)))
+        # 64-bit token Bloom mask (guide §3.2): a bit set in the small
+        # side's mask but clear in the big side's certifies >= 1 token of
+        # A outside B, so bit_count(sig_a & ~sig_b) lower-bounds |A \ B|.
+        # C(A,B) >= t allows at most (1-t)*|A| misses; "> budget" prunes
+        # the pair BEFORE the O(|A|+|B|) array_intersect, never dropping a
+        # qualifying pair (budget padded for double rounding).
+        .withColumn(
+            "sig",
+            F.expr(
+                "aggregate(hs, 0L,"
+                " (acc, h) -> acc | shiftleft(1L, cast(pmod(h, 64) as int)))"
+            ),
+        )
         .localCheckpoint(eager=False)
     )
     a = toks.selectExpr(
@@ -73,6 +90,7 @@ def q_containment_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "hs as hs_a",
         "sz as sz_a",
+        "sig as sig_a",
         "explode(array(band, band + 1, band + 2)) as band",
     )
     b = toks.select(
@@ -81,6 +99,7 @@ def q_containment_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band",
         F.col("hs").alias("hs_b"),
         F.col("sz").alias("sz_b"),
+        F.col("sig").alias("sig_b"),
     )
     pairs = (
         a.join(b, ["lang", "band"])
@@ -90,6 +109,11 @@ def q_containment_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 | ((F.col("sz_a") == F.col("sz_b")) & (F.col("id_small") < F.col("id_big")))
             )
             & (F.col("sz_b") <= F.col("sz_a") * _CONT_MAX_RATIO)
+            & (
+                F.expr("cast(bit_count(sig_a & ~sig_b) as double)")
+                <= F.lit(1.0 - _CONT_THRESH + 1e-5) * F.col("sz_a").cast("double")
+                + F.lit(1e-6)
+            )
         )
         .withColumn(
             "inter", F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))

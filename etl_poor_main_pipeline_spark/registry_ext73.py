@@ -293,6 +293,9 @@ def q_skipgram_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-{k} by micro-rounded PMI with (w1, w2) tie-breaks, support
     floor {m} micro."""
     d = _t(spark, sf_dir, "documents")
+    # the nested pair lambda emits ~w*|tokens| structs per doc on a
+    # one-split scan: spread across cores first (no-op at scale)
+    d = dedup.spread(d)
     pair_lambda = (
         "CASE WHEN size(ts) >= 2 THEN "
         "flatten(transform(sequence(1, size(ts) - 1), i -> "

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .operators.dedup import spread
 from .registry import QuerySpec, _t
 
 # --------------------------------------------------------------------------
@@ -69,7 +70,9 @@ def q_phash_grid_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel swapped for a deterministic byte grid (no image lib in
     this container)."""
     d = (
-        _t(spark, sf_dir, "documents")
+        # 64 ascii() picks + a pixel aggregate per doc on a one-split
+        # scan: spread across cores before the map stage (no-op at scale)
+        spread(_t(spark, sf_dir, "documents"))
         .where(F.length("text") >= _PH_PIXELS)
         .selectExpr(
             "doc_id",

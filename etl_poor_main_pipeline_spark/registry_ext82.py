@@ -170,7 +170,9 @@ def q_permutation_test_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ({P} + 1) — the add-one estimator. RNG-free, reproducible on any
     cluster."""
     perms = ", ".join(str(p) for p in range(_PERM_N + 1))
-    e = _t(spark, sf_dir, "events").selectExpr(
+    # P+1 md5 evaluations per event; spread the one-split scan so the
+    # explode+hash map stage uses every core (no-op at scale)
+    e = spread(_t(spark, sf_dir, "events")).selectExpr(
         "user_id",
         "cast(floor(1e6 * value + 0.5) as bigint) as vm",
     )

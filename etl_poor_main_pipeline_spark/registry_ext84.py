@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .operators.dedup import spread
 from .operators.scan_prefix import global_rank_zero
 from .registry import QuerySpec, _t
 
@@ -66,7 +67,10 @@ def q_bootstrap_ci_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a {B}-bounded array pick, the engine-stable percentile idiom). The observed mean sits beside the CI; at 100 TB
     this is how you put error bars on any aggregate without a second
     scan per replicate."""
-    e = _t(spark, sf_dir, "events").selectExpr(
+    # the replicate explode pays B md5 evaluations per event; a one-split
+    # parquet scan would serialize that on one core (spread is a no-op at
+    # scale, where the scan already fans out)
+    e = spread(_t(spark, sf_dir, "events")).selectExpr(
         "event_id",
         "event_type",
         "cast(floor(1e6 * value + 0.5) as bigint) as vm",

@@ -423,9 +423,15 @@ def connected_components(
     localCheckpoint to keep the plan from growing unboundedly (lineage
     blow-up is the classic failure mode of iterative DataFrame algorithms).
     """
-    sampled = pairs.select(
-        F.col("id_a").cast("long"), F.col("id_b").cast("long")
-    ).take(driver_edge_threshold + 1)
+    # Arrow collect (toPandas) instead of take(): the row-format collect
+    # serialized ~334k edge rows one by one (~0.5s at sf0.1); the Arrow
+    # path moves two long columns in a handful of batches. Same rows,
+    # same threshold semantics (limit N+1 detects overflow).
+    sampled = (
+        pairs.select(F.col("id_a").cast("long"), F.col("id_b").cast("long"))
+        .limit(driver_edge_threshold + 1)
+        .toPandas()
+    )
     if len(sampled) <= driver_edge_threshold:
         parent: dict[int, int] = {}
 
@@ -437,8 +443,10 @@ def connected_components(
                 parent[x], x = r, parent[x]
             return r
 
-        for row in sampled:
-            ra, rb = find(row.id_a), find(row.id_b)
+        for ia, ib in zip(
+            sampled["id_a"].to_numpy().tolist(), sampled["id_b"].to_numpy().tolist()
+        ):
+            ra, rb = find(ia), find(ib)
             if ra != rb:
                 hi, lo = max(ra, rb), min(ra, rb)
                 parent[hi] = lo

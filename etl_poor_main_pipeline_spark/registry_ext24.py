@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators.dedup import POLY_P, minhash_coeffs
+from .operators.dedup import POLY_P, minhash_coeffs, spread
 from .registry import QuerySpec, _t
 from .streaming.events import drain_to_table, read_event_stream_parquet
 
@@ -208,7 +208,9 @@ def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_H_BITS}-level unrolled expression chain; the identical SQL text is
     the oracle. Coordinates above 2^{_H_BITS}-1 would alias (fixture max
     is far below; rank/normalize first at larger domains)."""
-    o = _t(spark, sf_dir, "orders")
+    # the unrolled multi-level Hilbert state chain is heavy per-row
+    # expression work; spread the one-split scan (no-op at scale)
+    o = spread(_t(spark, sf_dir, "orders"))
     o.createOrReplaceTempView("orders_hilbert_src")
     day = "cast(datediff(o_orderdate, timestamp '1995-01-01 00:00:00') as bigint)"
     inner = _hilbert_sql(

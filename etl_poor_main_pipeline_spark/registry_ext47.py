@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .operators import similarity
+from .operators.dedup import spread
 from .registry import QuerySpec, _t
 
 # one fold pass: cosine(a, b) for two array<double> columns, micro-int
@@ -252,7 +253,10 @@ def q_int8_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the go/no-go number for serving 4x-smaller vectors. One corpus
     scan; the quantized query is a constant-folded literal; the float
     reference uses the established micro-cosine ranking."""
-    e = _t(spark, sf_dir, "embeddings")
+    # per-row quantize + two zip_with dot products over the embedding
+    # array: CPU-bound map work, spread the one-split scan (no-op at
+    # scale)
+    e = spread(_t(spark, sf_dir, "embeddings"))
     qv = similarity.query_vector(sf_dir, vec_id=0)
     qz = _quantize_py(qv)
     qz_lit = ",".join(str(v) for v in qz)

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .operators.dedup import spread
 from .registry import QuerySpec, _t
 
 # --------------------------------------------------------------------------
@@ -62,7 +63,9 @@ def q_fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic + exact-count aggregates — the 100 TB linkage
     shape."""
     c = _t(spark, sf_dir, "customer")
-    a = c.selectExpr(
+    # ~9M nation-blocked pair comparisons ride the probe side; spread the
+    # one-split scan across cores (no-op at scale)
+    a = spread(c).selectExpr(
         "c_custkey AS a_key",
         "c_name AS a_name",
         "c_nationkey AS a_nation",
@@ -76,22 +79,35 @@ def q_fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cast(coalesce(a_seg = b_seg, false) as boolean) AS ag_seg",
         "cast(a_name = b_name as boolean) AS ag_name",
     )
-    pat = pairs.groupBy("ag_bal", "ag_seg", "ag_name").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-        F.sum(F.when(F.col("is_true"), 1).otherwise(0)).cast("bigint").alias("n_true"),
+    pat = (
+        pairs.groupBy("ag_bal", "ag_seg", "ag_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.when(F.col("is_true"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_true"),
+        )
+        .localCheckpoint(eager=False)  # feeds the decision rows AND m/u
     )
-    # comparator m/u over the full candidate population (exact counts)
-    mu = pairs.agg(
-        F.sum(F.when(F.col("is_true"), 1).otherwise(0)).cast("bigint").alias("nm"),
-        F.sum(F.when(~F.col("is_true"), 1).otherwise(0)).cast("bigint").alias("nu"),
+    # comparator m/u over the full candidate population: EXACT sums over
+    # the <=8-row pattern table (every pair lands in exactly one pattern
+    # cell, so summing n_true / n_pairs-n_true per comparator flag equals
+    # the full-population conditional counts) — this removes the second
+    # ~9M-pair evaluation of the block join the old two-aggregate plan
+    # paid; integers identical by construction.
+    mu = pat.agg(
+        F.sum("n_true").cast("bigint").alias("nm"),
+        F.sum(F.col("n_pairs") - F.col("n_true")).cast("bigint").alias("nu"),
         *[
             x
             for f in ("ag_bal", "ag_seg", "ag_name")
             for x in (
-                F.sum(F.when(F.col("is_true") & F.col(f), 1).otherwise(0))
+                F.sum(F.when(F.col(f), F.col("n_true")).otherwise(0))
                 .cast("bigint")
                 .alias(f"m_{f}"),
-                F.sum(F.when(~F.col("is_true") & F.col(f), 1).otherwise(0))
+                F.sum(
+                    F.when(F.col(f), F.col("n_pairs") - F.col("n_true")).otherwise(0)
+                )
                 .cast("bigint")
                 .alias(f"u_{f}"),
             )

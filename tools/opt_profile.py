@@ -20,6 +20,8 @@ Usage:
 
 Writes the formatted plan to $PLAN_DIR/<query>$SUFFIX.txt when PLAN_DIR
 is set. Prints one aligned row per query and a JSON line at the end.
+Set PLANS_ONLY=1 to capture plans without the count/noop timing runs
+(explain is driver-side only, so this mode never executes a job).
 """
 
 from __future__ import annotations
@@ -118,6 +120,17 @@ def main() -> int:
                     ) as fh:
                         fh.write(buf.getvalue())
 
+                if os.environ.get("PLANS_ONLY"):
+                    out[name] = {
+                        "build_s": round(build_s, 3),
+                        "explain_s": round(explain_s, 3),
+                    }
+                    print(
+                        f"{name:36s} {build_s:8.3f} {explain_s:9.3f}"
+                        f" {'-':>8s} {'-':>8s}",
+                        file=sys.stderr,
+                    )
+                    continue
                 counts = []
                 for _ in range(3):
                     t0 = time.perf_counter()

@@ -169,6 +169,10 @@ def run_parallel(session) -> bool:
     env_base[SPARK_CORES_ENV] = str(WORKER_SPARK_CORES)
     # keep worker JVMs lean: N drivers at the default 8g would be 64g
     env_base.setdefault("ENGINE_DRIVER_MEMORY", "6g")
+    # Python worker/daemon socket connect-back can exceed the 15 s
+    # default while N saturated JVMs start up (observed: a streaming
+    # source poll dying with CANNOT_OPEN_SOCKET under the 8-way run)
+    env_base.setdefault("SPARK_AUTH_SOCKET_TIMEOUT", "120")
 
     markexpr = config.getoption("markexpr", "")
     keyword = config.getoption("keyword", "")

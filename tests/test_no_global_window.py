@@ -211,23 +211,21 @@ STREAM_PREFIXES = ("streaming_", "stream_")
 
 
 def test_no_global_window_across_registry(spark):
+    from _sweep import sweep
+
     qs = registry.queries()
-    offenders: dict[str, str] = {}
-    build_errors: dict[str, str] = {}
-    for name, fn in qs.items():
-        if name.startswith(STREAM_PREFIXES) or name in ALLOWED_GLOBAL:
-            continue
-        try:
-            bad = global_window_nodes(fn(spark, SF))
-        except Exception as exc:  # noqa: BLE001 - report, don't mask peers
-            build_errors[name] = repr(exc)[:200]
-            continue
-        if bad:
-            offenders[name] = bad[0][:200]
+    items = [
+        (name, fn)
+        for name, fn in qs.items()
+        if not name.startswith(STREAM_PREFIXES) and name not in ALLOWED_GLOBAL
+    ]
+    offenders, build_errors = sweep(
+        items, lambda name, fn: global_window_nodes(fn(spark, SF))
+    )
     assert not build_errors, f"queries failed to build: {build_errors}"
     assert not offenders, (
         "unpartitioned Window planned by: "
-        + "; ".join(f"{n}: {a}" for n, a in offenders.items())
+        + "; ".join(f"{n}: {a[0][:200]}" for n, a in offenders.items())
     )
 
 

@@ -113,23 +113,21 @@ STREAM_PREFIXES = ("streaming_", "stream_")
 
 
 def test_no_unbounded_nested_loop_join_across_registry(spark):
+    from _sweep import sweep
+
     qs = registry.queries()
-    offenders: dict[str, str] = {}
-    build_errors: dict[str, str] = {}
-    for name, fn in qs.items():
-        if name.startswith(STREAM_PREFIXES) or name in ALLOWED_NESTED_LOOP:
-            continue
-        try:
-            bad = unbounded_nested_loop_joins(fn(spark, SF))
-        except Exception as exc:  # noqa: BLE001 - report, don't mask peers
-            build_errors[name] = repr(exc)[:200]
-            continue
-        if bad:
-            offenders[name] = "; ".join(bad)[:200]
+    items = [
+        (name, fn)
+        for name, fn in qs.items()
+        if not name.startswith(STREAM_PREFIXES) and name not in ALLOWED_NESTED_LOOP
+    ]
+    offenders, build_errors = sweep(
+        items, lambda name, fn: unbounded_nested_loop_joins(fn(spark, SF))
+    )
     assert not build_errors, f"queries failed to build: {build_errors}"
     assert not offenders, (
         "nested-loop join with no bounded side (quadratic at scale) in: "
-        + "; ".join(f"{n}: {a}" for n, a in offenders.items())
+        + "; ".join(f"{n}: {'; '.join(a)[:200]}" for n, a in offenders.items())
     )
 
 

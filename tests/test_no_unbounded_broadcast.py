@@ -119,30 +119,32 @@ def test_no_unbounded_broadcast_across_registry(spark, monkeypatch):
     # gate shut = the 100 TB posture: size-gated pins vanish, the sweep
     # sees exactly the pins a real cluster plan would carry
     monkeypatch.setattr(fastpath, "BROADCAST_GATE_THRESHOLD_BYTES", 0)
+    from _sweep import sweep
+
     qs = registry.queries()
-    offenders: dict[str, str] = {}
-    build_errors: dict[str, str] = {}
-    for name, fn in qs.items():
-        if name.startswith(STREAM_PREFIXES):
-            continue
-        try:
-            bad = _flagged(fn, spark)
-        except Exception as exc:  # noqa: BLE001 - report, don't mask peers
-            build_errors[name] = repr(exc)[:200]
-            continue
-        # Each sanction strips ONLY its own witness CLASS (leading
-        # prefix, not substring containment — ADVICE r9: a
-        # join-multiplicity witness embeds the grown child's text, so a
-        # substring match on 'LogicalRDD' would let the checkpoint
-        # sanction absorb an unsanctioned join-multiplicity witness
-        # whose growing side is checkpointed). A raw growing scan under
-        # a hint fails regardless of either sanction.
+
+    # Each sanction strips ONLY its own witness CLASS (leading
+    # prefix, not substring containment — ADVICE r9: a
+    # join-multiplicity witness embeds the grown child's text, so a
+    # substring match on 'LogicalRDD' would let the checkpoint
+    # sanction absorb an unsanctioned join-multiplicity witness
+    # whose growing side is checkpointed). A raw growing scan under
+    # a hint fails regardless of either sanction.
+    def probe(name, fn):
+        bad = _flagged(fn, spark)
         if name in ALLOWED_CHECKPOINT:
             bad = [w for w in bad if not w.startswith(_CKPT_WITNESS)]
         if name in ALLOWED_JOIN_MULTIPLICITY:
             bad = [w for w in bad if not w.startswith(_JM_WITNESS)]
-        if bad:
-            offenders[name] = bad[0][:200]
+        return bad
+
+    items = [
+        (name, fn)
+        for name, fn in qs.items()
+        if not name.startswith(STREAM_PREFIXES)
+    ]
+    raw_offenders, build_errors = sweep(items, probe)
+    offenders = {n: a[0][:200] for n, a in raw_offenders.items()}
     assert not build_errors, f"queries failed to build: {build_errors}"
     assert not offenders, (
         f"{len(offenders)} unbounded broadcast hints: "

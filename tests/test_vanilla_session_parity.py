@@ -113,11 +113,28 @@ con = par.duck_con({SF_DIR!r})
 qs, oracles = ent.queries(), ent.oracle_sql()
 graded = list(qs)[:50]
 fails = []
-for name in graded:
+
+# Spark side threaded for BATCH queries (concurrent job submission is
+# supported and the builders here mutate no conf); streaming drains run
+# serially — query start/registration is not safe to race. DuckDB
+# compare stays serial: the connection is not thread-safe and the
+# oracle work is cheap.
+from concurrent.futures import ThreadPoolExecutor
+
+def run_one(name):
     try:
-        sdf = qs[name](spark, {SF_DIR!r}).toPandas()
+        return name, qs[name](spark, {SF_DIR!r}).toPandas(), None
     except Exception as e:
-        fails.append(f"{{name}}: spark error {{str(e)[:120]}}")
+        return name, None, str(e)[:120]
+
+batch = [n for n in graded if not n.startswith(("streaming_", "stream_"))]
+serial = [n for n in graded if n.startswith(("streaming_", "stream_"))]
+with ThreadPoolExecutor(max_workers=8) as pool:
+    results = list(pool.map(run_one, batch))
+results += [run_one(n) for n in serial]
+for name, sdf, err in results:
+    if err is not None:
+        fails.append(f"{{name}}: spark error {{err}}")
         continue
     odf = con.execute(oracles[name]).fetchdf()
     if len(sdf) != len(odf):

@@ -72,17 +72,44 @@ def main() -> int:
     con = duck_con(sf_dir)
     qs, oracles = ent.queries(), ent.oracle_sql()
     n_pass = n_fail = 0
-    for name, fn in qs.items():
-        if only and name not in only:
-            continue
+
+    # Spark side threaded for batch queries (concurrent job submission is
+    # supported; builders mutate no conf): the sweep is gateway/oracle
+    # bound, not compute bound, so 8 threads ~3x the wall. Streaming
+    # drains run serially — stream start/registration must not race.
+    # ETL_PARITY_THREADS=1 restores the fully serial sweep.
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    names = [n for n in qs if not only or n in only]
+    threads = int(os.environ.get("ETL_PARITY_THREADS", "8"))
+
+    def run_spark(name):
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            return qs[name](spark, sf_dir).toPandas(), None, time.time() - t0
         except Exception as e:
-            print(f"FAIL {name}: spark error: {str(e)[:300]}")
+            return None, str(e)[:300], time.time() - t0
+
+    spark_res: dict[str, tuple] = {}
+    batch = [n for n in names if not n.startswith(("streaming_", "stream_"))]
+    serial = [n for n in names if n.startswith(("streaming_", "stream_"))]
+    if threads > 1:
+        with ThreadPoolExecutor(max_workers=threads) as pool:
+            for n, r in zip(batch, pool.map(run_spark, batch)):
+                spark_res[n] = r
+    else:
+        for n in batch:
+            spark_res[n] = run_spark(n)
+    for n in serial:
+        spark_res[n] = run_spark(n)
+
+    for name in names:
+        sdf, err, t_spark = spark_res[name]
+        if err is not None:
+            print(f"FAIL {name}: spark error: {err}")
             n_fail += 1
             continue
-        t_spark = time.time() - t0
         sql = oracles.get(name)
         if sql is None:
             print(f"ok   {name}: rows-only ({len(sdf)} rows, {t_spark:.1f}s)")

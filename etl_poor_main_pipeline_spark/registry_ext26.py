@@ -141,7 +141,11 @@ def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             edges.join(alive, "src")
             .join(alive.withColumnRenamed("src", "dst"), "dst")
             .select("src", "dst")
-            .localCheckpoint()  # truncate the per-round lineage
+            # truncate the per-round lineage; lazy so the 6 per-round
+            # materialization jobs fold into the final action (round-14
+            # A/B: neutral walls — 3.04 vs 3.10 s min-of-5 — kept for
+            # the family-wide one-job shape)
+            .localCheckpoint(eager=False)
         )
     return (
         edges.groupBy(F.col("src").alias("doc_id"))

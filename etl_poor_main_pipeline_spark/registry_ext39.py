@@ -48,7 +48,7 @@ def q_bfs_reachability_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     assigned = d.select("doc_id").where(
         F.col("doc_id") % _BFS_SEED_MOD == 0
@@ -65,8 +65,10 @@ def q_bfs_reachability_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         new = reached.join(assigned.select("doc_id"), "doc_id", "left_anti").withColumn(
             "hop", F.lit(h)
         )
-        new = new.localCheckpoint()
-        assigned = assigned.unionAll(new).localCheckpoint()
+        # lazy: the per-hop materialization jobs fold into the final
+        # action (pagerank-family job-fold, round 14)
+        new = new.localCheckpoint(eager=False)
+        assigned = assigned.unionAll(new).localCheckpoint(eager=False)
         frontier = new
     total = d.agg(F.count(F.lit(1)).alias("n_total"))
     per_hop = assigned.groupBy("hop").agg(

@@ -57,7 +57,11 @@ def q_personalized_pagerank(
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
     def _ckpt(df: DataFrame) -> DataFrame:
-        return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
+        # lazy local checkpoint: per-round materialization folds into the
+        # final action (pagerank-family job-fold, round 14)
+        if checkpoint_dir is not None:
+            return df.checkpoint()
+        return df.localCheckpoint(eager=False)
 
     d = _t(spark, sf_dir, "documents")
     pairs = dedup.jaccard_token_sets(
@@ -178,7 +182,11 @@ def q_label_propagation(
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
     def _ckpt(df: DataFrame) -> DataFrame:
-        return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
+        # lazy local checkpoint: per-round materialization folds into the
+        # final action (pagerank-family job-fold, round 14)
+        if checkpoint_dir is not None:
+            return df.checkpoint()
+        return df.localCheckpoint(eager=False)
 
     d = _t(spark, sf_dir, "documents")
     pairs = dedup.jaccard_token_sets(

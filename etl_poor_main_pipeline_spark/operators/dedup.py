@@ -176,34 +176,51 @@ def minhash_lsh_candidates(
     their other (selective) bands.
 
     ``bucket_hash=True`` (default) compacts each band slice to an 8-byte
-    xxhash64 join key — the production shuffle-size choice. ``False`` keeps
-    the raw comma-joined slice string as the key: identical collision
-    semantics (string equality <=> slice equality, and xxhash64 adds only
-    a ~2^-64 false-collision risk the verify step would catch anyway), but
-    exactly reproducible by the DuckDB oracle twin.
+    xxhash64 join key — the production shuffle-size choice. ``False``
+    packs each band slice EXACTLY into ceil(r/2) bigints (two mod-p
+    signature values per word: v1*2^31 + v2 is injective because every
+    value is <= 2^31-1 < 2^31), so key equality <=> slice equality with
+    no hash involved at all — the oracle-exact path, at ~1/3 the shuffle
+    width of the comma-joined slice string it replaces (and integer
+    instead of string compares in the bucket window + self-join).
     """
 
+    n_words = (rows_per_band + 1) // 2
+    bucket_cols = (
+        ["bucket"] if bucket_hash else [f"bucket_{w}" for w in range(n_words)]
+    )
+
     def _band_key(b: int) -> F.Column:
-        slice_str = F.concat_ws(
-            ",",
-            *[
-                F.col("minhash")[b * rows_per_band + r].cast("string")
-                for r in range(rows_per_band)
-            ],
-        )
-        return F.xxhash64(slice_str) if bucket_hash else slice_str
+        if bucket_hash:
+            slice_str = F.concat_ws(
+                ",",
+                *[
+                    F.col("minhash")[b * rows_per_band + r].cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )
+            return F.struct(F.xxhash64(slice_str).alias("bucket"))
+        words = []
+        for i in range(0, rows_per_band, 2):
+            v = F.col("minhash")[b * rows_per_band + i].cast("bigint")
+            if i + 1 < rows_per_band:
+                v = v * F.lit(1 << 31) + F.col("minhash")[
+                    b * rows_per_band + i + 1
+                ].cast("bigint")
+            words.append(v.alias(f"bucket_{i // 2}"))
+        return F.struct(*words)
 
     bands = sig_df.select(
         F.col(id_col),
         *(F.col(c) for c in (block_cols or [])),
         F.posexplode(F.array(*[_band_key(b) for b in range(num_bands)])).alias(
-            "band", "bucket"
+            "band", "_bk"
         ),
-    )
+    ).select(id_col, *(block_cols or []), "band", "_bk.*")
     if max_bucket_size is not None:
         from pyspark.sql.window import Window
 
-        w = Window.partitionBy(*(block_cols or []), "band", "bucket")
+        w = Window.partitionBy(*(block_cols or []), "band", *bucket_cols)
         bands = (
             bands.withColumn("_bsz", F.count(F.lit(1)).over(w))
             .filter(F.col("_bsz") <= max_bucket_size)
@@ -211,11 +228,11 @@ def minhash_lsh_candidates(
         )
     a = bands.alias("a")
     b = bands.alias("b")
-    cond = (
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    cond = (F.col("a.band") == F.col("b.band")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     )
+    for c in bucket_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     for c in block_cols or []:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     out = a.join(b, cond).select(

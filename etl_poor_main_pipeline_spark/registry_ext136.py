@@ -57,47 +57,6 @@ _SQL_CENTI = """
 """
 
 
-def _irls_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Centi cells + the 1-row (n, median, mad-scale) context broadcast
-    onto every cell — the shared IRLS input. Median and MAD use the
-    lower-median rank (n+1) div 2 over cell CDFs (deterministic in both
-    engines)."""
-    cells = _centi_cells(spark, sf_dir)
-    cells = cells.localCheckpoint(eager=False)  # walks + K IRLS passes
-    wname = Window.orderBy("vc").rowsBetween(Window.unboundedPreceding, 0)
-    walk = cells.select(
-        "vc", F.sum("w").over(wname).cast("bigint").alias("cum")
-    )
-    tot = cells.agg(F.sum("w").cast("bigint").alias("n"))
-    med = (
-        walk.crossJoin(F.broadcast(tot))
-        .filter("cum >= (n + 1) div 2")
-        .agg(F.min("vc").cast("bigint").alias("med_c"), F.max("n").alias("n"))
-    )
-    dev = (
-        cells.crossJoin(F.broadcast(med))
-        .select(F.expr("abs(vc - med_c)").alias("dc"), "w", "med_c", "n")
-        .groupBy("dc", "med_c", "n")
-        .agg(F.sum("w").cast("bigint").alias("w"))
-    )
-    wdev = Window.orderBy("dc").rowsBetween(Window.unboundedPreceding, 0)
-    mad = (
-        dev.select(
-            "dc",
-            "med_c",
-            "n",
-            F.sum("w").over(wdev).cast("bigint").alias("cum"),
-        )
-        .filter("cum >= (n + 1) div 2")
-        .agg(
-            F.max("n").cast("bigint").alias("n"),
-            F.max("med_c").cast("bigint").alias("med_c"),
-            F.min("dc").cast("bigint").alias("mad_c"),
-        )
-    )
-    return cells.crossJoin(F.broadcast(mad))
-
-
 _SQL_IRLS_FRAME = f"""
 cells AS ({_SQL_CENTI}),
 walk AS (
@@ -128,61 +87,78 @@ def _irls_query(tune: str, weight_expr: str, weight_sql: str):
     """Shared IRLS driver: 3 unrolled reweighted-mean steps over the
     centi-cell frame, starting from the cell median, with the given
     weight expression in terms of (u = x - mu in micro, k = tuning
-    constant in micro)."""
+    constant in micro).
+
+    Round-14 shape: the centi cell frame is VALUE-DOMAIN bounded (a few
+    hundred cells at any corpus size), so after the one corpus
+    aggregation the whole walk — median CDF cross, MAD CDF cross, and
+    the 3 IRLS reweighted means — runs as expression lambdas over ONE
+    sorted cell array in a single-row frame. Arithmetic is unchanged
+    cell algebra (exact integer/decimal sums; a sorted-order scan
+    crosses the same (n+1) div 2 target the old min-over-filter did),
+    but the old shape's 8 broadcast-exchange builds + global-window walk
+    (21 scheduler jobs/query measured) collapse into the one corpus
+    aggregation job."""
 
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        frame = _irls_frame(spark, sf_dir)
+        cells = _centi_cells(spark, sf_dir)
+        row = cells.agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("vc"), F.col("w")))
+            ).alias("cw"),
+            F.sum("w").cast("bigint").alias("n"),
+        )
+        # lower-median rank target (n+1) div 2, first cell whose running
+        # cum crosses it == min qualifying vc of the old filtered walk
+        walk = (
+            "aggregate({arr}, struct(cast(0 as bigint) as cum,"
+            " cast(null as bigint) as hit), (acc, x) -> struct("
+            "acc.cum + x.{wcol} as cum, coalesce(acc.hit,"
+            " if(acc.cum + x.{wcol} >= (n + 1) div 2, x.{vcol},"
+            " cast(null as bigint))) as hit)).hit"
+        )
+        row = row.selectExpr(
+            "cw", "n", walk.format(arr="cw", wcol="w", vcol="vc") + " AS med_c"
+        )
+        dev = "sort_array(transform(cw, x -> struct(abs(x.vc - med_c) as dc, x.w as w)))"
+        row = row.selectExpr(
+            "cw",
+            "n",
+            "med_c",
+            walk.format(arr=dev, wcol="w", vcol="dc") + " AS mad_c",
+        )
         # tuning constant in micro: tune * 1.4826 * mad (centi -> micro)
         kmu = (
             f"cast(floor({tune} * {_MAD_CONST} * cast(mad_c as double) * 1e4"
             " + 0.5) as bigint)"
         )
-        frame = frame.withColumn("k_micro", F.expr(kmu)).withColumn(
-            "x_micro", F.expr("vc * 10000")
-        )
-        mu = (
-            frame.groupBy()
-            .agg(F.max(F.expr("med_c * 10000")).alias("mu"))
-            .selectExpr("cast(mu as bigint) as mu")
-        )
-        for _ in range(_IRLS_STEPS):
-            stepped = (
-                frame.crossJoin(F.broadcast(mu))
-                .selectExpr(
-                    "w",
-                    "x_micro",
-                    "k_micro",
-                    "abs(x_micro - mu) AS au",
-                )
-                .selectExpr(
-                    "w",
-                    "x_micro",
-                    f"cast({weight_expr} as bigint) AS wm",  # micro weight
-                )
-                .agg(
-                    F.sum(F.expr(f"{_DEC.format(x='w')} * wm * x_micro")).alias(
-                        "num"
-                    ),
-                    F.sum(F.expr(f"{_DEC.format(x='w')} * wm")).alias("den"),
-                )
+        row = row.selectExpr("cw", "n", "med_c", "mad_c", f"{kmu} AS k_micro")
+        mu_col = "cast(med_c * 10000 as bigint)"
+        for s in range(_IRLS_STEPS):
+            row = row.selectExpr(
+                "cw", "n", "med_c", "mad_c", "k_micro", f"{mu_col} AS mu{s}"
             )
-            mu = stepped.selectExpr(
-                "cast(floor(cast(num as double) / cast(den as double) + 0.5)"
-                " as bigint) AS mu"
+            # per-cell micro weight with au = |x_micro - mu|, then the
+            # exact decimal sums the old per-step aggregate computed
+            wm = f"cast({weight_expr.replace('au', f'abs(x.vc * 10000 - mu{s})')} as bigint)"
+            step = (
+                "aggregate(cw, struct(cast(0 as decimal(38,0)) as num,"
+                " cast(0 as decimal(38,0)) as den), (acc, x) -> struct("
+                f"acc.num + cast(x.w as decimal(38,0)) * ({wm})"
+                " * (x.vc * 10000) as num,"
+                f" acc.den + cast(x.w as decimal(38,0)) * ({wm}) as den))"
             )
-        out = frame.groupBy().agg(
-            F.max("n").cast("bigint").alias("n"),
-            F.max("med_c").cast("bigint").alias("med_c"),
-            F.max("mad_c").cast("bigint").alias("mad_c"),
-            F.max("k_micro").cast("bigint").alias("k_micro"),
-        )
-        return out.crossJoin(F.broadcast(mu)).selectExpr(
+            mu_col = (
+                f"cast(floor(cast(({step}).num as double)"
+                f" / cast(({step}).den as double) + 0.5) as bigint)"
+            )
+        return row.selectExpr(
             "n",
             "med_c * 10000 AS median_micro",
             f"cast(floor({_MAD_CONST} * cast(mad_c as double) * 1e4 + 0.5)"
             " as bigint) AS s0_micro",
             "k_micro",
-            "mu AS m_location_micro",
+            f"{mu_col} AS m_location_micro",
         )
 
     def oracle() -> str:

@@ -160,7 +160,13 @@ def q_passing_bablok_regression(
         .filter("s is not null and s <> -1000000")
     )
     cells = slopes.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    pref = exclusive_prefix_sum(cells, "s", "c", out="nb")
+    # lazy plan-split barriers after each Blelloch pass (round 14): this
+    # query's single tree cost ~0.84s of Catalyst + AQE re-planning on
+    # every run; two LogicalRDD barriers cut the re-planned tree to a
+    # third (measured med 3.35 -> 2.36s interleaved, identical row)
+    pref = exclusive_prefix_sum(cells, "s", "c", out="nb").localCheckpoint(
+        eager=False
+    )
     tot = pref.agg(
         F.max(F.expr("nb + c")).cast("bigint").alias("n"),
         F.sum(F.expr("if(s < -1000000, c, 0L)")).cast("bigint").alias("k"),
@@ -193,7 +199,7 @@ def q_passing_bablok_regression(
     )
     rpref = exclusive_prefix_sum(
         rcells.selectExpr("a2", "c", "n", "k", "b_x2"), "a2", "c", out="nb"
-    )
+    ).localCheckpoint(eager=False)
     rtot = rpref.agg(F.max(F.expr("nb + c")).cast("bigint").alias("m"))
     return (
         rpref.crossJoin(F.broadcast(rtot))

@@ -162,9 +162,10 @@ ALLOWED_GLOBAL = {
     "hosmer_lemeshow_gof",
     # Wave 136: median/MAD/quartile CDF walks over CENTI/UNIT value
     # cells and the rank-select walks over pair-difference / kernel
-    # cells — all value-domain-bounded (CvM / hodges_lehmann categories)
-    "huber_m_location",
-    "tukey_biweight_location",
+    # cells — all value-domain-bounded (CvM / hodges_lehmann categories).
+    # (huber_m_location / tukey_biweight_location left the list in round
+    # 14: their walks now run as sorted-array lambdas over the bounded
+    # cell frame — no Window in the plan at all.)
     "qn_scale_estimator",
     "medcouple_skewness",
     # Wave 140: HAC lag windows over the calendar-bounded DAILY spine

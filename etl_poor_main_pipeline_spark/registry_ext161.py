@@ -211,30 +211,32 @@ def q_bws_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each i-term snaps nano. Output one row: n_a, n_b, b_x_micro,
     b_y_micro, b_stat_micro, reject_05 (asymptotic b=2.493)."""
     cells = _wd_cells(spark, sf_dir)
-    pooled = exclusive_prefix_sum(
-        cells.withColumn("l", F.expr("ca + cb")).select("vc", "l"),
-        "vc", "l", out="nb0",
+    # ONE Blelloch pass carries all three cumulatives (pooled rank plus
+    # both per-side observation indexes — zero-count cells add nothing
+    # to a cumsum, so the unfiltered per-side prefixes equal the old
+    # filtered ones at every surviving cell): round 14 fold of the
+    # former three passes / six broadcast builds.
+    fr = exclusive_prefix_sums(
+        cells.withColumn("l", F.expr("ca + cb")),
+        "vc",
+        {"l": "nb0", "ca": "ia_a", "cb": "ia_b"},
     ).selectExpr(
-        "vc", "l", "2 * nb0 + l + 1 AS r2"
-    ).localCheckpoint(eager=False)  # joined by both per-side frames
+        "vc", "ca", "cb", "2 * nb0 + l + 1 AS r2", "ia_a", "ia_b"
+    ).localCheckpoint(eager=False)  # feeds both per-side frames + mn
     out = []
-    for side, col in (("a", "ca"), ("b", "cb")):
-        g = exclusive_prefix_sum(
-            cells.filter(F.col(col) > 0).select("vc", F.col(col).alias("c")),
-            "vc", "c", out="ia",
-        )
+    for side, col, ia in (("a", "ca", "ia_a"), ("b", "cb", "ia_b")):
         out.append(
-            g.join(pooled.select("vc", "r2"), "vc")
+            fr.filter(F.col(col) > 0)
             .selectExpr(
-                f"'{side}' AS side", "r2", "ia",
-                "explode(sequence(ia + 1, ia + c)) AS i",
+                f"'{side}' AS side", "r2", f"{ia} AS ia",
+                f"explode(sequence({ia} + 1, {ia} + {col})) AS i",
             )
         )
     rows = out[0].unionAll(out[1])
-    # m, n per side come from the total counts (max i per side)
-    tot = rows.groupBy("side").agg(F.max("i").cast("bigint").alias("cnt"))
-    mn = tot.groupBy().pivot("side", ["a", "b"]).sum("cnt").selectExpr(
-        "a AS m_a", "b AS m_b"
+    # m, n per side are the side totals (identical to the old max-i)
+    mn = fr.agg(
+        F.sum("ca").cast("bigint").alias("m_a"),
+        F.sum("cb").cast("bigint").alias("m_b"),
     )
     terms = rows.crossJoin(F.broadcast(mn)).selectExpr(
         "side",

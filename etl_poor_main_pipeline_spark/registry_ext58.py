@@ -41,18 +41,31 @@ _FK_RELS = (
 def q_fk_conformance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] W/X7 referential-integrity audit across the star schema:
     for each declared FK relationship, child row count and orphan
-    count (child keys with no parent) via left-anti joins — the
-    conformance gate a warehouse load runs before publishing. Each
-    relationship is one anti-join; Catalyst broadcasts the small
-    parent side."""
+    count (child keys with no parent) — the conformance gate a
+    warehouse load runs before publishing. One LEFT join per
+    relationship against the distinct parent keys carries both counts
+    in a single aggregate (a child row matches at most once, so
+    count(*) is still the child count and a null parent marks an
+    orphan) — the round-14 fold of the former anti-join + separate
+    child-count pass per relationship (19 scheduler jobs -> 7).
+    Catalyst broadcasts the small parent side."""
     out = None
     for child, ck, parent, pk in _FK_RELS:
         c = _t(spark, sf_dir, child).select(F.col(ck).alias("k"))
-        p = _t(spark, sf_dir, parent).select(F.col(pk).alias("k")).distinct()
+        p = (
+            _t(spark, sf_dir, parent)
+            .select(F.col(pk).alias("k"))
+            .distinct()
+            .withColumn("_hit", F.lit(1))
+        )
         row = (
-            c.join(p, "k", "left_anti")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
-            .crossJoin(c.agg(F.count(F.lit(1)).cast("bigint").alias("n_child")))
+            c.join(p, "k", "left")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_child"),
+                F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_orphans"),
+            )
             .select(
                 F.lit(f"{child}.{ck}->{parent}.{pk}").alias("relationship"),
                 "n_child",

@@ -264,52 +264,71 @@ def q_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .localCheckpoint(eager=False)
     )
-    row_tot = tr.groupBy("src").agg(F.sum("n").cast("bigint").alias("tot"))
-    p = tr.join(F.broadcast(row_tot), "src").selectExpr(
-        "src",
-        "dst",
+    # Round-14 shape: the transition matrix is |enum|^2-bounded (<= 25
+    # cells), so after the one corpus pass the whole chain — row
+    # normalization, 8 power-iteration rounds, both entropy sums — runs
+    # as map/array expression lambdas over ONE collected row. Identical
+    # arithmetic (micro-snapped doubles, decimal(38,16) term sums are
+    # order-free), but the former 8 per-round shuffles + broadcast
+    # builds (21 scheduler jobs measured) collapse into the corpus
+    # aggregation job. A state drops out of pi exactly when no surviving
+    # transition reaches it — the same semantics the old groupBy(dst)
+    # after the inner join on pi had.
+    row = tr.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("src"), F.col("dst"), F.col("n")))
+        ).alias("td")
+    )
+    row = row.selectExpr(
+        "td",
+        "aggregate(td, cast(0 as bigint), (acc, x) -> acc + x.n) AS nt",
+        "array_sort(array_distinct(transform(td, x -> x.src))) AS srcs",
+    )
+    row = row.selectExpr(
+        "td",
+        "nt",
+        "srcs",
+        "map_from_arrays(srcs, transform(srcs, s -> aggregate("
+        "filter(td, x -> x.src = s), cast(0 as bigint),"
+        " (acc, x) -> acc + x.n))) AS totm",
+    )
+    row = row.selectExpr(
+        "nt",
+        "totm",
         # micro-snap the transition probabilities once, in both engines
-        "floor(1e6 * cast(n as double) / cast(tot as double) + 0.5) / 1e6 as p",
+        "transform(td, x -> struct(x.src as src, x.dst as dst,"
+        " floor(1e6 * cast(x.n as double)"
+        " / cast(try_element_at(totm, x.src) as double) + 0.5) / 1e6 as p))"
+        " AS p",
+        "map_from_arrays(srcs, transform(srcs,"
+        " s -> 1.0 / cast(size(srcs) as double))) AS pi",
     )
-    states = row_tot.select("src")
-    k = states.agg(F.count(F.lit(1)).cast("bigint").alias("k"))
-    pi = states.crossJoin(F.broadcast(k)).selectExpr(
-        "src", "1.0 / cast(k as double) as pi"
-    )
+    live = "filter(p, x -> try_element_at(pi, x.src) is not null)"
     for _ in range(_ER_ITERS):
-        pi = (
-            p.join(pi, "src")
-            .groupBy("dst")
-            .agg(F.sum((F.col("pi") * F.col("p")).cast("decimal(38,16)")).alias("s"))
-            .selectExpr("dst as src", "floor(1e6 * cast(s as double) + 0.5) / 1e6 as pi")
+        dsts = f"array_sort(array_distinct(transform({live}, x -> x.dst)))"
+        newpi = (
+            f"map_from_arrays({dsts}, transform({dsts},"
+            " d -> floor(1e6 * cast(aggregate("
+            f"filter({live}, x -> x.dst = d),"
+            " cast(0 as decimal(38,16)), (acc, x) -> cast(acc"
+            " + cast(try_element_at(pi, x.src) * x.p as decimal(38,16))"
+            " as decimal(38,16)))"
+            " as double) + 0.5) / 1e6))"
         )
-    ent = (
-        p.join(pi, "src")
-        .agg(
-            F.sum(
-                (
-                    -F.col("pi")
-                    * F.col("p")
-                    * F.log(F.col("p"))
-                ).cast("decimal(38,16)")
-            ).alias("h")
-        )
-        .selectExpr("cast(floor(1e6 * cast(h as double) + 0.5) as bigint) as entropy_rate_micro")
+        row = row.selectExpr("nt", "totm", "p", f"{newpi} AS pi")
+    return row.selectExpr(
+        f"cast(floor(1e6 * cast(aggregate({live},"
+        " cast(0 as decimal(38,16)), (acc, x) -> cast(acc"
+        " + cast((-try_element_at(pi, x.src)) * x.p * ln(x.p)"
+        " as decimal(38,16)) as decimal(38,16))) as double) + 0.5) as bigint)"
+        " AS entropy_rate_micro",
+        "cast(floor(1e6 * cast(aggregate(p,"
+        " cast(0 as decimal(38,16)), (acc, x) -> cast(acc"
+        " + cast((-(cast(try_element_at(totm, x.src) as double)"
+        " / cast(nt as double))) * x.p * ln(x.p)"
+        " as decimal(38,16)) as decimal(38,16))) as double) + 0.5) as bigint)"
+        " AS empirical_cond_entropy_micro",
     )
-    emp = (
-        tr.groupBy("src")
-        .agg(F.sum("n").cast("bigint").alias("n_src"))
-        .crossJoin(F.broadcast(tr.agg(F.sum("n").cast("bigint").alias("nt"))))
-        .selectExpr("src", "cast(n_src as double) / cast(nt as double) as f")
-        .join(p, "src")
-        .agg(
-            F.sum((-F.col("f") * F.col("p") * F.log(F.col("p"))).cast("decimal(38,16)")).alias(
-                "h"
-            )
-        )
-        .selectExpr("cast(floor(1e6 * cast(h as double) + 0.5) as bigint) as empirical_cond_entropy_micro")
-    )
-    return ent.crossJoin(F.broadcast(emp))
 
 
 def _er_oracle() -> str:

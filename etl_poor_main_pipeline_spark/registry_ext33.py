@@ -229,7 +229,11 @@ def q_jsonl_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     path = os.path.join(
         tempfile.gettempdir(),
-        f"jsonl_rt_{os.path.basename(sf_dir.rstrip('/'))}",
+        # per-session path component: fixed names under the shared
+        # tempdir race across parallel sessions (ADVICE r9 / shard
+        # workers) — same stance as registry_ext125._session_tag
+        f"jsonl_rt_{spark.sparkContext.applicationId.replace('-', '_')}"
+        f"_{os.path.basename(sf_dir.rstrip('/'))}",
     )
     d.write.mode("overwrite").json(path)
     back = spark.read.schema("doc_id bigint, lang string, n_chars bigint").json(path)
@@ -270,7 +274,8 @@ def q_schema_merge_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     base = os.path.join(
         tempfile.gettempdir(),
-        f"schema_evo_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"schema_evo_{spark.sparkContext.applicationId.replace('-', '_')}"
+        f"_{os.path.basename(sf_dir.rstrip('/'))}",
     )
     pa, pb = os.path.join(base, "batch_a"), os.path.join(base, "batch_b")
     d.select("doc_id", "lang").write.mode("overwrite").parquet(pa)

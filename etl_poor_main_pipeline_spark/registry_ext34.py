@@ -231,7 +231,8 @@ def q_streaming_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
     base = os.path.join(
         tempfile.gettempdir(),
-        f"upsert_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"upsert_{spark.sparkContext.applicationId.replace('-', '_')}"
+        f"_{os.path.basename(sf_dir.rstrip('/'))}",
     )
     src, tgt = os.path.join(base, "src"), os.path.join(base, "tgt")
     # re-split the single-file source so availableNow yields 4 batches

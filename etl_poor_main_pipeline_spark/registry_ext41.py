@@ -129,7 +129,8 @@ def q_csv_quoting_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = os.path.join(
         tempfile.gettempdir(),
-        f"csv_rt_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"csv_rt_{spark.sparkContext.applicationId.replace('-', '_')}"
+        f"_{os.path.basename(sf_dir.rstrip('/'))}",
     )
     d.write.mode("overwrite").option("header", "true").csv(path)
     back = (

@@ -55,7 +55,8 @@ def q_orc_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = os.path.join(
         tempfile.gettempdir(),
-        f"orc_rt_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"orc_rt_{spark.sparkContext.applicationId.replace('-', '_')}"
+        f"_{os.path.basename(sf_dir.rstrip('/'))}",
     )
     d.write.mode("overwrite").orc(path)
     back = spark.read.schema(

@@ -73,7 +73,14 @@ def spark(tmp_path_factory):
     spark = get_spark(
         app_name="tests",
         master=f"local[{cores}]",
-        extra_confs={"spark.sql.warehouse.dir": wh},
+        extra_confs={
+            "spark.sql.warehouse.dir": wh,
+            # both sides of the Python worker connect-back handshake can
+            # exceed the 15s defaults while 8 shard workers saturate the
+            # host (JVM side here; the Python side's
+            # SPARK_AUTH_SOCKET_TIMEOUT is set by tests/_par_runner.py)
+            "spark.python.authenticate.socketTimeout": "120s",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     yield spark

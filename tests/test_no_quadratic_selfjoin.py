@@ -101,12 +101,11 @@ ALLOWED_NESTED_LOOP = {
     # (the frames sit behind a localCheckpoint so the detector cannot
     # size them).
     "hoeffding_d",
-    # Wave 162: the calendar-DAY (AM mean, PM mean) frame triangularly
-    # self-joined for the Passing-Bablok pairwise-slope set — days²/2
-    # pairs, calendar-bounded at any corpus size (the
-    # sample_entropy_daily category); the frame sits behind a
-    # localCheckpoint so the detector cannot size it.
-    "passing_bablok_regression",
+    # (passing_bablok_regression left the list in round 14: its
+    # calendar-day slope pair join — still days²/2 and calendar-bounded
+    # — now sits UPSTREAM of the round-14 plan-split barriers, so the
+    # detector no longer sees a nested-loop join at all and the
+    # staleness check below demands the entry go.)
 }
 
 STREAM_PREFIXES = ("streaming_", "stream_")

@@ -26,6 +26,15 @@ from ..functions.text import fingerprint_md5, shingles_expr, tokens_expr
 POLY_P = (1 << 31) - 1
 POLY_MULT = 131
 
+#: Decimal places of the Jaccard values this module emits/filters on.
+#: The Bloom-mask prune's slack is DERIVED from this (ADVICE r13: the
+#: two were silently coupled): round(J, d) >= t can admit J as low as
+#: t - 0.5*10^-d, so the prune must budget against t - 10^-(d-1) to
+#: stay strictly conservative. Changing the precision here keeps prune
+#: and filter in lockstep.
+JACCARD_ROUND_DECIMALS = 6
+_JACCARD_ROUND_SLACK = 10.0 ** -(JACCARD_ROUND_DECIMALS - 1)
+
 
 def poly_hash_expr(col) -> F.Column:
     """Portable polynomial string hash: fold codepoints with
@@ -282,7 +291,7 @@ def minhash_verify_candidates(
     t = F.lit(threshold)
     inter = F.size(F.array_intersect(F.col("_tok_a"), F.col("_tok_b")))
     union = F.col("_na") + F.col("_nb") - inter
-    jac = F.round(inter.cast("double") / union.cast("double"), 6)
+    jac = F.round(inter.cast("double") / union.cast("double"), JACCARD_ROUND_DECIMALS)
     # token sets are per-document, so this side GROWS with the corpus: the
     # broadcast pin is gated on Catalyst's own size estimate
     # (fastpath.broadcast_if_plan_small) — pinned while the projected doc
@@ -384,10 +393,11 @@ def jaccard_token_sets(
     # I >= t/(1+t)*(na+nb), i.e. each side may miss at most
     # n_side - I_min tokens of the other. bit_count(sig_x & ~sig_y)
     # lower-bounds the true miss count, so "> budget" certifies J < t.
-    # The final filter compares round(J, 6) >= t, so the budget is
-    # derived from t - 1e-5 (covers the 5e-7 rounding reach) and padded
-    # 1e-6 against double rounding — prune NEVER drops a qualifying pair.
-    t_eff = max(threshold - 1e-5, 0.0)
+    # The final filter compares round(J, JACCARD_ROUND_DECIMALS) >= t,
+    # so the budget is derived from t - 10^-(d-1) (covers the 0.5*10^-d
+    # rounding reach) and padded 1e-6 against double rounding — the
+    # prune NEVER drops a qualifying pair, at any shared precision.
+    t_eff = max(threshold - _JACCARD_ROUND_SLACK, 0.0)
     i_min = F.lit(t_eff / (1.0 + t_eff)) * (
         F.col("a._ntok") + F.col("b._ntok")
     ).cast("double")
@@ -409,7 +419,7 @@ def jaccard_token_sets(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(jac, 6).alias("jaccard"),
+            F.round(jac, JACCARD_ROUND_DECIMALS).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= tl)
     )
@@ -449,6 +459,16 @@ def connected_components(
         .limit(driver_edge_threshold + 1)
         .toPandas()
     )
+    # ADVICE r13: Arrow silently widens a long column containing nulls to
+    # float64 (take() surfaced None explicitly) and ids above 2^53 would
+    # lose precision in the union-find labels — fail loudly instead
+    for c in ("id_a", "id_b"):
+        if str(sampled[c].dtype) != "int64":
+            raise TypeError(
+                f"connected_components: edge column {c} collected as "
+                f"{sampled[c].dtype}, expected int64 — null or "
+                "non-integral ids in the pair frame"
+            )
     if len(sampled) <= driver_edge_threshold:
         parent: dict[int, int] = {}
 

@@ -34,8 +34,12 @@ def _brute_jaccard_pairs(rows, threshold=0.8, length_window=16):
             continue
         if abs(a["n_chars"] - b["n_chars"]) > length_window:
             continue
-        sa = set(t for t in a["text"].lower().split() if t)
-        sb = set(t for t in b["text"].lower().split() if t)
+        # token sets come from the OPERATOR's own tokenizer (ADVICE r13:
+        # a local .lower().split() re-implementation would silently
+        # diverge if tokens_expr ever changes punctuation/empty handling
+        # — this pin is about the prune, not the tokenizer)
+        sa = a["_tok"]
+        sb = b["_tok"]
         if not sa | sb:
             continue
         j = len(sa & sb) / len(sa | sb)
@@ -72,7 +76,27 @@ def test_bloom_mask_prune_is_conservative(spark):
             df, threshold=0.8, block_cols=["lang"], length_window=16
         ).collect()
     }
-    want = _brute_jaccard_pairs([dict(zip(("doc_id", "lang", "text", "n_chars"), d)) for d in docs])
+    # reference token sets through the operator's own tokens_expr, so
+    # this test pins only the prune (ADVICE r13)
+    from etl_poor_main_pipeline_spark.functions.text import tokens_expr
+
+    tok_rows = df.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.array_distinct(tokens_expr("text")).alias("_tok"),
+    ).collect()
+    want = _brute_jaccard_pairs(
+        [
+            {
+                "doc_id": r.doc_id,
+                "lang": r.lang,
+                "n_chars": r.n_chars,
+                "_tok": set(r._tok),
+            }
+            for r in tok_rows
+        ]
+    )
     assert got == want
     assert (3, 4) in got  # the exactly-at-threshold pair survived the mask
 
